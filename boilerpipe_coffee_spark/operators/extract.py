@@ -1,0 +1,261 @@
+"""Spark extraction operators.
+
+Two pipelines, both golden-exact against the reference:
+
+1. :func:`extract` -- the PRODUCTION path.  One ``mapInPandas`` stage:
+   parse + filter chain + span reassembly per document inside Arrow
+   batches.  Documents are independent, so this is embarrassingly
+   parallel with ZERO shuffles -- the plan is scan -> python eval ->
+   sink, and at 10^12 documents the only costs are IO and CPU.  This is
+   deliberately NOT a translation of the reference's per-document loop
+   into many Spark stages: a per-doc-sequential filter chain gains
+   nothing from inter-stage shuffles and pays the full exchange of the
+   exploded block table (bigger than the input) at every stage.
+
+2. :func:`extract_staged` -- the OPERATOR-DECOMPOSED path.  Exposes the
+   filter chain as real Spark stages over an exploded blocks DataFrame:
+   columnar window/when stages (operators.columnar) for the stateless
+   filters and one ``applyInPandas`` for the order-dependent fusion
+   tail.  Costs exactly ONE hash exchange on doc_id, which the window
+   stages and the applyInPandas group share.  Exists to prove each
+   reference operator maps to an idiomatic Spark operator and to serve
+   unit-level operator queries; bench.py measures both paths.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.extractors import ARTICLE
+from ..sources import OUTPUT_SCHEMA
+from ..spans import extract_spans
+
+# ---------------------------------------------------------------- #
+# production path: one vectorized stage, no shuffle                 #
+# ---------------------------------------------------------------- #
+
+
+def extract(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, title, spans, error).
+
+    Reference parity: output spans match lib/Boilerpipe.js per document
+    (golden suite); documents on which the reference throws (quirk Q9 /
+    nested <a>) come back with error='reference_throw' and empty spans
+    instead of failing the job.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids = pdf["doc_id"].tolist()
+            titles, out_spans, errors = [], [], []
+            for spans in pdf["spans"]:
+                title, spans_out, error = extract_spans(_as_dicts(spans), extractor)
+                titles.append(title)
+                out_spans.append(spans_out)
+                errors.append(error)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "title": titles,
+                    "spans": out_spans,
+                    "error": errors,
+                }
+            )
+
+    return df.mapInPandas(run, schema=OUTPUT_SCHEMA)
+
+
+def _as_dicts(spans):
+    # Arrow gives list[dict] for array<struct>; be tolerant of numpy
+    if spans is None:
+        return []
+    return [dict(s) for s in spans]
+
+
+# ---------------------------------------------------------------- #
+# staged path: exploded blocks DF + columnar stages + fusion tail   #
+# ---------------------------------------------------------------- #
+
+# one row per text block, plus one row per media span (is_media=true).
+# Media rows sort after all block rows inside each doc_id group, so
+# window lag/lead sees NULL features at both block-sequence edges --
+# exactly the reference's undefined-placeholder semantics (quirk Q2).
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("title", StringType()),
+        StructField("is_media", BooleanType(), False),
+        StructField("block_offset", IntegerType()),
+        StructField("span_offset", IntegerType()),
+        StructField("text", StringType()),
+        StructField("tag_level", IntegerType()),
+        StructField("num_words", IntegerType()),
+        StructField("num_words_anchor", IntegerType()),
+        StructField("num_words_wrapped", IntegerType()),
+        StructField("num_wrapped_lines", IntegerType()),
+        StructField("text_density", DoubleType()),
+        StructField("link_density", DoubleType()),
+        StructField("kind", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("media_offset", IntegerType()),
+        StructField("error", StringType()),
+        StructField("is_content", BooleanType()),
+        StructField("end_of_text", BooleanType()),
+    ]
+)
+
+
+def parse_blocks(df: DataFrame) -> DataFrame:
+    """mapInPandas parse/featurize: (doc_id, spans) -> block+media rows.
+
+    Parse errors (reference throw points reached during parsing, e.g.
+    nested <a>) emit a single error row so quarantining survives the
+    staged pipeline too.
+    """
+    from bisect import bisect_right
+
+    from ..core.jsquirks import ReferenceThrow
+    from ..core.parser import BoilerpipeParser
+    from ..spans import html_from_spans
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parser = BoilerpipeParser()
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                spans = _as_dicts(spans)
+                html, starts, span_offsets = html_from_spans(spans)
+                try:
+                    doc = parser.parse_document_from_html(html)
+                except ReferenceThrow:
+                    rows.append(_error_row(doc_id))
+                    continue
+                for tb in doc.text_blocks:
+                    if tb.src_pos >= 0 and starts:
+                        so = span_offsets[bisect_right(starts, tb.src_pos) - 1]
+                    else:
+                        so = span_offsets[0] if span_offsets else 0
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "title": doc.title,
+                            "is_media": False,
+                            "block_offset": tb.offset_start,
+                            "span_offset": so,
+                            "text": tb.text,
+                            "tag_level": tb.tag_level,
+                            "num_words": tb.num_words,
+                            "num_words_anchor": int(tb.num_words_in_anchor_text),
+                            "num_words_wrapped": int(tb.num_words_in_wrapped_lines),
+                            "num_wrapped_lines": int(tb.num_wrapped_lines),
+                            "text_density": float(tb.text_density),
+                            "link_density": float(tb.link_density),
+                            "kind": "text",
+                            "media_ref": None,
+                            "media_offset": None,
+                            "error": None,
+                            "is_content": False,
+                            "end_of_text": False,
+                        }
+                    )
+                for s in spans:
+                    if s["kind"] != "text":
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "title": doc.title,
+                                "is_media": True,
+                                "block_offset": None,
+                                "span_offset": None,
+                                "text": None,
+                                "tag_level": None,
+                                "num_words": None,
+                                "num_words_anchor": None,
+                                "num_words_wrapped": None,
+                                "num_wrapped_lines": None,
+                                "text_density": None,
+                                "link_density": None,
+                                "kind": s["kind"],
+                                "media_ref": s["media_ref"],
+                                "media_offset": s["offset"],
+                                "error": None,
+                                "is_content": None,
+                                "end_of_text": None,
+                            }
+                        )
+                if not doc.text_blocks and not any(
+                    s["kind"] != "text" for s in spans
+                ):
+                    rows.append(_empty_doc_row(doc_id, doc.title))
+            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=BLOCKS_SCHEMA)
+
+
+def _error_row(doc_id):
+    return {
+        "doc_id": doc_id,
+        "title": "",
+        "is_media": False,
+        "block_offset": None,
+        "span_offset": None,
+        "text": None,
+        "tag_level": None,
+        "num_words": None,
+        "num_words_anchor": None,
+        "num_words_wrapped": None,
+        "num_wrapped_lines": None,
+        "text_density": None,
+        "link_density": None,
+        "kind": None,
+        "media_ref": None,
+        "media_offset": None,
+        "error": "reference_throw",
+        "is_content": None,
+        "end_of_text": None,
+    }
+
+
+def _empty_doc_row(doc_id, title):
+    r = _error_row(doc_id)
+    r["title"] = title
+    r["error"] = None
+    r["kind"] = "empty"
+    return r
+
+
+def extract_staged(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
+    """Operator-decomposed pipeline; output equals :func:`extract`."""
+    from . import columnar
+    from .fusion import fuse_and_assemble
+
+    blocks = parse_blocks(df)
+
+    if extractor == "ArticleExtractor":
+        blocks = columnar.terminating_blocks_finder(blocks)
+        # DocumentTitleMatchClassifier(null, false) is a no-op (Q3)
+        blocks = columnar.num_words_rules_classifier(blocks)
+        blocks = columnar.ignore_blocks_after_content(blocks, 60)
+    elif extractor == "LargestContentExtractor":
+        blocks = columnar.num_words_rules_classifier(blocks)
+    elif extractor == "KeepEverythingExtractor":
+        blocks = columnar.mark_everything_content(blocks)
+    elif extractor in ("DefaultExtractor", "Unfiltered"):
+        pass  # SimpleBlockFusion runs first -> handled in the fusion tail
+    else:
+        pass
+
+    return fuse_and_assemble(blocks, extractor)

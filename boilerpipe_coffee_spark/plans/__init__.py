@@ -1,0 +1,52 @@
+"""Session construction and scale configuration.
+
+The pipeline targets multi-executor clusters reading 10^12-document
+Iceberg tables; in this sandbox it runs ``local[$SPARK_GRAFT_CPUS]``.
+All scale knobs live here so bench/tests/production share one place:
+
+- AQE on (runtime coalescing + skew handling for the doc_id shuffle).
+- Arrow batches sized so one python-worker batch is thousands of small
+  docs (the north star) while giant docs (500-5000 blocks) cannot blow
+  up worker memory -- maxRecordsPerBatch bounds rows/batch and Spark
+  splits batches per partition anyway.
+- shuffle partitions default to 4x cores so AQE has room to coalesce
+  and skewed per-doc groups spread out.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "boilerpipe-coffee-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch: int = 1024,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = default_cpus()
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or 4 * cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.maxResultSize", "4g")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

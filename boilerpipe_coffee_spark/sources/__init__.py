@@ -1,0 +1,128 @@
+"""Sources and sinks for the interleaved-document pipeline.
+
+Production target is an Iceberg table (BASELINE.json ``input_hint``);
+this sandbox has no Iceberg runtime jars, so every reader/writer goes
+through :func:`table_format`, which uses Iceberg's DSv2 ``writeTo`` /
+``read.format("iceberg")`` when a catalog is configured and falls back
+to parquet paths otherwise.  The access pattern (select only needed
+columns, partition output by bucket(doc_id)) is identical either way --
+Catalyst pushes projection/predicates into both scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+INTERLEAVED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+OUT_SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("order", IntegerType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("title", StringType()),
+        StructField("spans", ArrayType(OUT_SPAN_STRUCT)),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is configured on this session."""
+    try:
+        for key in ("spark.sql.catalog.spark_catalog", "spark.sql.catalog.local"):
+            impl = spark.conf.get(key, None)
+            if impl and "iceberg" in impl.lower():
+                return True
+    except Exception:
+        pass
+    return False
+
+
+def read_interleaved(spark: SparkSession, source: str) -> DataFrame:
+    """Scan the interleaved-document table, projecting only the two
+    needed columns so DSv2 column pruning reaches the file scan."""
+    if iceberg_available(spark) and "/" not in source:
+        df = spark.read.format("iceberg").load(source)
+    else:
+        df = spark.read.parquet(source)
+    return df.select("doc_id", "spans")
+
+
+def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
+    """Write extraction output.  With Iceberg: ``writeTo(...).append()``
+    on a table partitioned by ``bucket(256, doc_id)`` (hidden
+    partitioning -> partition pruning on doc_id lookups).  Parquet
+    fallback: plain append."""
+    spark = df.sparkSession
+    if iceberg_available(spark) and "/" not in target:
+        try:
+            df.writeTo(target).append()
+            return
+        except Exception:
+            df.writeTo(target).partitionedBy(F.bucket(256, F.col("doc_id"))).create()
+            return
+    df.write.mode(mode).parquet(target)
+
+
+def synth_interleaved(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    giant_max: int = 600,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus: ``range(n) -> mapInPandas`` so
+    generation scales with the cluster instead of the driver.  The
+    generator is seeded per doc index, so any subset of partitions
+    yields the same rows -- which is also what makes per-partition
+    resume (operators.pipeline) deterministic."""
+    import pandas as pd
+
+    from ..fixtures import generate_doc
+
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            docs = [generate_doc(int(i), seed, giant_max) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d["doc_id"] for d in docs],
+                    "spans": [d["spans"] for d in docs],
+                }
+            )
+
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(
+        gen, schema=INTERLEAVED_SCHEMA
+    )

@@ -3,3 +3,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from boilerpipe_coffee_spark.plans import get_spark
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+    spark = get_spark("bpc-tests", master="local[4]", shuffle_partitions=8)
+    yield spark
+    spark.stop()

@@ -1,0 +1,77 @@
+"""Spark pipeline golden tests: both the production (zero-shuffle
+mapInPandas) and staged (columnar + applyInPandas) pipelines must
+reproduce the reference's golden span sequences on the t1 corpus."""
+
+import pytest
+
+from boilerpipe_coffee_spark.operators import extract, extract_staged
+from boilerpipe_coffee_spark.sources import INTERLEAVED_SCHEMA
+
+from helpers import load_golden
+
+EXTRACTORS = [
+    "ArticleExtractor",
+    "DefaultExtractor",
+    "LargestContentExtractor",
+    "KeepEverythingExtractor",
+]
+
+
+@pytest.fixture(scope="module")
+def t1_df(spark):
+    docs = load_golden("t1_docs")
+    rows = [(d["doc_id"], d["spans"]) for d in docs]
+    return spark.createDataFrame(rows, schema=INTERLEAVED_SCHEMA).cache()
+
+
+def _check(result_df, extractor):
+    expected = {g["doc_id"]: g for g in load_golden(f"t1_{extractor}")}
+    got = result_df.collect()
+    assert len(got) == len(expected)
+    mismatches = []
+    for row in got:
+        exp = expected[row.doc_id]
+        g_spans = [
+            {
+                "kind": s.kind,
+                "text": s.text,
+                "media_ref": s.media_ref,
+                "order": s.order,
+            }
+            for s in (row.spans or [])
+        ]
+        want = {
+            "title": exp["title"],
+            "spans": exp["spans"],
+            "error": exp["error"],
+        }
+        have = {"title": row.title, "spans": g_spans, "error": row.error}
+        if row.error is not None:
+            have["title"] = ""
+            have["spans"] = []
+        if have != want:
+            mismatches.append((row.doc_id, want, have))
+    assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("extractor", EXTRACTORS)
+def test_production_pipeline_golden(spark, t1_df, extractor):
+    _check(extract(t1_df, extractor), extractor)
+
+
+@pytest.mark.parametrize("extractor", EXTRACTORS)
+def test_staged_pipeline_golden(spark, t1_df, extractor):
+    _check(extract_staged(t1_df, extractor), extractor)
+
+
+def test_staged_plan_has_single_exchange(spark, t1_df):
+    """The staged pipeline's window stages + applyInPandas must share
+    one hash exchange on doc_id (scale invariant: re-shuffling the
+    exploded block table per stage would dominate at 100 TB)."""
+    plan = extract_staged(t1_df, "ArticleExtractor")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_production_plan_has_no_exchange(spark, t1_df):
+    plan = extract(t1_df, "ArticleExtractor")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
