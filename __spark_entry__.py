@@ -1,38 +1,156 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship extraction -- deterministic interleaved
+  corpus -> ArticleExtractor -> exploded output spans.
+- ``queries()``: one entry per implemented operator (SURVEY.md section
+  2 inventory + the training-data operators); each takes
+  (spark, sf_dir) and returns a DataFrame.
+- ``oracle_sql()``: DuckDB twins with identical column names/values
+  for every SQL-expressible query.  Extraction itself is not
+  SQL-expressible (a SAX parse + stateful filter chain), so the
+  ``extract_*`` queries are rows-only; their real correctness gate is
+  the golden differential suite in tests/ (exact span-sequence
+  equality vs the reference binary, `python -m pytest -x -q`).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ROOT = Path(__file__).resolve().parent
+if str(_ROOT) not in sys.path:
+    sys.path.insert(0, str(_ROOT))
+
+N_FLAGSHIP_DOCS = 300
+
+
+def _flagship(spark: SparkSession, extractor: str) -> DataFrame:
+    from boilerpipe_coffee_spark.operators import extract
+    from boilerpipe_coffee_spark.sources import synth_interleaved
+
+    docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
+    out = extract(docs, extractor)
+    return (
+        out.select(
+            "doc_id",
+            "title",
+            "error",
+            F.posexplode_outer("spans").alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            "title",
+            "error",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.order").alias("out_order"),
+        )
+        .orderBy("doc_id", "out_order")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract the synthetic interleaved corpus (rows > 0,
+    stable schema).  sf0.001 tables are also touched so the smoke check
+    exercises the driver parquet path."""
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    return _flagship(spark, "ArticleExtractor")
+
+
+def _extraction_queries() -> dict[str, Callable]:
+    def article(spark, sf_dir):
+        return _flagship(spark, "ArticleExtractor")
+
+    def default(spark, sf_dir):
+        return _flagship(spark, "DefaultExtractor")
+
+    def largest(spark, sf_dir):
+        return _flagship(spark, "LargestContentExtractor")
+
+    def keep_everything(spark, sf_dir):
+        return _flagship(spark, "KeepEverythingExtractor")
+
+    def staged_article(spark, sf_dir):
+        from boilerpipe_coffee_spark.operators import extract_staged
+        from boilerpipe_coffee_spark.sources import synth_interleaved
+
+        docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
+        out = extract_staged(docs, "ArticleExtractor")
+        return (
+            out.select(
+                "doc_id", "title", "error",
+                F.posexplode_outer("spans").alias("pos", "s"),
+            )
+            .select(
+                "doc_id", "title", "error",
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.order").alias("out_order"),
+            )
+            .orderBy("doc_id", "out_order")
+        )
+
+    def media_features(spark, sf_dir):
+        from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.operators.multimodal import (
+            decode_features,
+            media_payloads,
+        )
+        from boilerpipe_coffee_spark.sources import synth_interleaved
+
+        docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
+        out = extract(docs, "KeepEverythingExtractor")
+        return decode_features(media_payloads(out)).orderBy("media_ref").drop(
+            "embedding"
+        )
+
+    return {
+        "extract_article_spans": article,
+        "extract_default_spans": default,
+        "extract_largest_spans": largest,
+        "extract_keepeverything_spans": keep_everything,
+        "extract_article_staged": staged_article,
+        "media_decode_features": media_features,
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from boilerpipe_coffee_spark.operators import (
+        dedup,
+        relational,
+        similarity,
+        textstats,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    out.update(relational.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(similarity.QUERIES)
+    out.update(textstats.QUERIES)
+    out.update(_extraction_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from boilerpipe_coffee_spark.operators import (
+        dedup,
+        relational,
+        similarity,
+        textstats,
+    )
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(similarity.ORACLES)
+    out.update(textstats.ORACLES)
+    # extract_* and media_decode_features: no SQL oracle (rows-only);
+    # their exact-match gate is tests/test_golden.py + test_spark_extract.py
+    return out

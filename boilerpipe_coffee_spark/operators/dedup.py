@@ -1,0 +1,301 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each as a (Spark DataFrame, DuckDB oracle SQL) pair over
+the ``documents`` table; all hashing is md5-derived so both engines
+compute bit-identical values:
+
+- exact dedup: hash-groupBy on md5(text), keep min doc_id.
+- n-gram Jaccard: token 3-gram shingles, exact pairwise similarity via
+  a shingle-equality self-join (intersection counts) -- the
+  correctness baseline the sketch methods approximate.
+- MinHash + LSH: k=8 signatures over shingle hashes, 4 bands of 2;
+  band-equality buckets yield candidate pairs without the N^2 join --
+  the 100 TB-scale path (shuffle keyed on band values, skew-safe since
+  signatures are uniform).
+- SimHash: 32-bit sign-sketch of the token set; near-dup candidates
+  have small Hamming distance.
+
+Scale note: at 10^12 docs the Jaccard self-join is infeasible (its
+shingle join explodes); minhash bands keep the shuffle linear in corpus
+size, and the band join is a narrow (band_key -> [doc_id]) exchange.
+That hierarchy (exact -> LSH candidates -> verify) is the intended
+production composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# md5-hex prefix -> bigint, identical in Spark and DuckDB
+# Spark:  conv(substring(md5(x), 1, 15), 16, 10)::bigint
+# DuckDB: ('0x' || substring(md5(x), 1, 15))::BIGINT
+_P = 2147483647  # 2^31-1, keeps a*h+b within 63 bits
+_MINHASH_AB = [
+    (387, 10283),
+    (1021, 74099),
+    (2667, 33223),
+    (4093, 91121),
+    (5749, 55313),
+    (7919, 20201),
+    (9241, 68207),
+    (10369, 41911),
+]
+N_BANDS = 4  # 8 signatures, bands of 2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h64(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+_TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_SHINGLES = (
+    f"CASE WHEN size({_TOKENS}) >= 3 THEN "
+    f"transform(sequence(1, size({_TOKENS}) - 2), "
+    f"i -> concat_ws(' ', slice({_TOKENS}, i, 3))) "
+    "ELSE array() END"
+)
+
+_TOKENS_DUCK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_SHINGLES_DUCK = (
+    f"list_transform(range(1, len({_TOKENS_DUCK}) - 1), "
+    f"i -> array_to_string(({_TOKENS_DUCK})[i:i+2], ' '))"
+)
+
+
+# ------------------------------------------------------------------ #
+
+
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+"""
+
+
+# ------------------------------------------------------------------ #
+
+
+def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.5):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SHINGLES).alias("shingles")
+    )
+    sets = docs.select(
+        "doc_id", F.array_distinct("shingles").alias("shingles")
+    ).withColumn("set_size", F.size("shingles"))
+    ex = sets.select(
+        "doc_id", "set_size", F.explode("shingles").alias("shingle")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jacc = F.round(
+        F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+    )
+    return (
+        pairs.select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS shingles
+  FROM documents WHERE len({_TOKENS_DUCK}) >= 3
+), sized AS (
+  SELECT doc_id, shingles, len(shingles) AS set_size FROM sets
+), ex AS (
+  SELECT doc_id, set_size, unnest(shingles) AS shingle FROM sized
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.set_size AS size_a, b.set_size AS size_b,
+         count(*) AS inter
+  FROM ex a JOIN ex b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(inter / (size_a + size_b - inter), 4) AS jaccard
+FROM pairs
+WHERE round(inter / (size_a + size_b - inter), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+# ------------------------------------------------------------------ #
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + banded LSH candidate pairs."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SHINGLES).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    ex = docs.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
+    h = F.pmod(_h64(F.col("sh")), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(a * h + b, F.lit(_P))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.concat_ws("-", F.lit(str(j)), F.col(f"mh{2*j}"), F.col(f"mh{2*j+1}")).alias(
+                f"band{j}"
+            )
+            for j in range(N_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band{j}") for j in range(N_BANDS)])).alias(
+            "band_key"
+        ),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql() -> str:
+    mh_exprs = ",\n         ".join(
+        f"min(({a} * h + {b}) % {_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+    band_exprs = ", ".join(
+        f"'{j}' || '-' || mh{2*j} || '-' || mh{2*j+1} AS band{j}"
+        for j in range(N_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, band{j} AS band_key FROM bands" for j in range(N_BANDS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS sh
+  FROM documents WHERE len({_TOKENS_DUCK}) >= 3
+), hs AS (
+  SELECT doc_id, (('0x' || substring(md5(sh), 1, 15))::BIGINT) % {_P} AS h
+  FROM ex
+), sig AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM hs GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, {band_exprs} FROM sig
+), stacked AS (
+  {band_union}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM stacked a JOIN stacked b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
+# ------------------------------------------------------------------ #
+
+
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash over the distinct token set."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    ex = docs.select("doc_id", F.explode("tokens").alias("tok"))
+    h = F.pmod(_h64(F.col("tok")), F.lit(4294967296))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    sums = ex.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select(
+        "doc_id", simhash.cast("bigint").alias("simhash")
+    ).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok
+  FROM documents WHERE len({_TOKENS_DUCK}) > 0
+), hs AS (
+  SELECT doc_id, (('0x' || substring(md5(tok), 1, 15))::BIGINT) % 4294967296 AS h
+  FROM ex
+), sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hs GROUP BY doc_id
+)
+SELECT doc_id, ({recompose})::BIGINT AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+}

@@ -1,0 +1,468 @@
+"""Relational operator analogues of the extraction filter chain, plus
+classic join/agg queries, over the driver's parquet tables.
+
+These back the ``__spark_entry__.queries()`` / ``oracle_sql()``
+contract: every Spark DataFrame query here has a DuckDB-SQL twin with
+identical column names and values, so the driver's side-by-side check
+covers the relational skeleton of every filter operator:
+
+- window lag/lead classification  <- NumWordsRulesClassifier (2.5)
+- running-sum cutoff              <- IgnoreBlocksAfterContentFilter
+- per-group argmax, ties->later   <- KeepLargestBlockFilter (Q8)
+- gap-based segment fusion        <- BlockProximityFusion
+- consecutive-equal grouping      <- SimpleBlockFusionProcessor
+- row-local predicate labeling    <- TerminatingBlocksFinder
+- clause acceptance               <- MinClauseWordsFilter
+- sentence explode                <- SplitParagraphBlocksFilter
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ------------------------------------------------------------------ #
+# TPC-H-style aggregate / join (category checklist 2.7)               #
+# ------------------------------------------------------------------ #
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                              AS sum_qty,
+       round(sum(l_extendedprice), 4)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ #
+# window lag/lead classifier  <- NumWordsRulesClassifier              #
+# ------------------------------------------------------------------ #
+
+
+def numwords_rules_classify(spark, sf_dir):
+    """The reference's C4.8 tree shape over (prev, curr, next) features
+    (Filters.coffee:529-553), applied to documents: word counts stand
+    in for numWords, punctuation share for linkDensity.  Boundary NULLs
+    fall through branches exactly like the JS undefined placeholders."""
+    docs = _t(spark, sf_dir, "documents")
+    nw = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+    docs = docs.select(
+        "doc_id",
+        "source",
+        nw.alias("num_words"),
+        F.round(
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")))
+            / F.length("text"),
+            6,
+        ).alias("link_density"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prev_ld = F.lag("link_density").over(w)
+    prev_nw = F.lag("num_words").over(w)
+    next_nw = F.lead("num_words").over(w)
+    decision = (
+        F.when(F.col("link_density") > 0.333333, F.lit(False))
+        .when(
+            prev_ld <= 0.555556,
+            F.when(
+                (F.col("num_words") <= 16) & (next_nw <= 15) & (prev_nw <= 4),
+                F.lit(False),
+            ).otherwise(F.lit(True)),
+        )
+        .when((F.col("num_words") <= 40) & (next_nw <= 17), F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    return docs.select(
+        "doc_id", "source", "num_words", "link_density", decision.alias("is_content")
+    )
+
+
+NUMWORDS_RULES_SQL = """
+WITH feats AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS num_words,
+         round((length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))
+               / length(text), 6) AS link_density
+  FROM documents
+), ctx AS (
+  SELECT *,
+         lag(link_density)  OVER (PARTITION BY source ORDER BY doc_id) AS prev_ld,
+         lag(num_words)     OVER (PARTITION BY source ORDER BY doc_id) AS prev_nw,
+         lead(num_words)    OVER (PARTITION BY source ORDER BY doc_id) AS next_nw
+  FROM feats
+)
+SELECT doc_id, source, num_words, link_density,
+  CASE
+    WHEN link_density > 0.333333 THEN FALSE
+    WHEN prev_ld <= 0.555556 THEN
+      CASE WHEN num_words <= 16 AND next_nw <= 15 AND prev_nw <= 4
+           THEN FALSE ELSE TRUE END
+    WHEN num_words <= 40 AND next_nw <= 17 THEN FALSE
+    ELSE TRUE
+  END AS is_content
+FROM ctx
+"""
+
+
+# ------------------------------------------------------------------ #
+# running-sum cutoff  <- IgnoreBlocksAfterContentFilter               #
+# ------------------------------------------------------------------ #
+
+
+def running_sum_cutoff(spark, sf_dir):
+    """Cumulative full-text words per source (doc order); once a
+    'terminator' doc (text containing 'comment') is seen with the
+    running sum >= 2000, that doc and all later docs flip to
+    non-content (Filters.coffee:454-476 shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nw = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0))
+    terminator = F.col("text").contains("comment")
+    base = docs.select(
+        "doc_id", "source", nw.alias("num_words"), terminator.alias("is_term")
+    )
+    cum = F.sum("num_words").over(wcum)
+    trigger = F.when(F.col("is_term") & (cum >= 2000), 1).otherwise(0)
+    hit = F.max(trigger).over(wcum)
+    return base.select(
+        "doc_id",
+        "source",
+        "num_words",
+        cum.alias("cum_words"),
+        (hit == 0).alias("keep"),
+    )
+
+
+RUNNING_SUM_CUTOFF_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS num_words,
+         (text LIKE '%comment%') AS is_term
+  FROM documents
+), cum AS (
+  SELECT *,
+    sum(num_words) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_words
+  FROM base
+)
+SELECT doc_id, source, num_words, cum_words,
+  max(CASE WHEN is_term AND cum_words >= 2000 THEN 1 ELSE 0 END)
+    OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) = 0
+    AS keep
+FROM cum
+"""
+
+
+# ------------------------------------------------------------------ #
+# per-group argmax (ties -> later)  <- KeepLargestBlockFilter Q8      #
+# ------------------------------------------------------------------ #
+
+
+def keep_largest_per_group(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.desc("n_chars"), F.desc("doc_id")
+        )
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", rn.alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source")
+    )
+
+
+KEEP_LARGEST_SQL = """
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id DESC) AS rn
+  FROM documents
+) WHERE rn = 1 ORDER BY source
+"""
+
+
+# ------------------------------------------------------------------ #
+# gap-based segment fusion  <- BlockProximityFusion                   #
+# ------------------------------------------------------------------ #
+
+
+def sessionize_events(spark, sf_dir):
+    """Merge event 'blocks' whose distance <= maxDist into segments:
+    a new segment starts when the time gap exceeds 30 minutes, then
+    aggregate per segment -- the relational shape of
+    BlockProximityFusion's merge + the metrics a fused block carries."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = epoch - F.lag(epoch).over(w)
+    new_seg = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    seg = F.sum(new_seg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("seg_id", seg)
+        .groupBy("user_id", "seg_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min(epoch).alias("start_epoch"),
+            F.max(epoch).alias("end_epoch"),
+        )
+        .orderBy("user_id", "seg_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS e,
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   - lag(floor(epoch(ts))::BIGINT) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_seg
+  FROM events
+), s AS (
+  SELECT *, sum(new_seg) OVER (PARTITION BY user_id ORDER BY e, event_id
+                               ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM g
+)
+SELECT user_id, seg_id, count(*) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       min(e) AS start_epoch, max(e) AS end_epoch
+FROM s GROUP BY user_id, seg_id ORDER BY user_id, seg_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# consecutive-equal grouping  <- SimpleBlockFusionProcessor           #
+# ------------------------------------------------------------------ #
+
+
+def fuse_adjacent_equal(spark, sf_dir):
+    """Group consecutive docs (per source, doc_id order) with equal
+    length-bucket and aggregate, mirroring equal-density fusion."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") / 100).cast("int")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    changed = F.when(
+        F.lag(bucket).over(w).isNull() | (F.lag(bucket).over(w) != bucket), 1
+    ).otherwise(0)
+    seg = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn("seg_id", seg)
+        .groupBy("source", "seg_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source", "seg_id")
+    )
+
+
+FUSE_ADJACENT_SQL = """
+WITH b AS (
+  SELECT source, doc_id, n_chars, (n_chars // 100)::INT AS bucket
+  FROM documents
+), c AS (
+  SELECT *, CASE WHEN lag(bucket) OVER w IS NULL
+                   OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS changed
+  FROM b WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+), s AS (
+  SELECT *, sum(changed) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM c
+)
+SELECT source, seg_id, count(*) AS n_docs, min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc, sum(n_chars) AS sum_chars
+FROM s GROUP BY source, seg_id ORDER BY source, seg_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# row-local predicates  <- TerminatingBlocksFinder                    #
+# ------------------------------------------------------------------ #
+
+
+def terminating_markers(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    nw = F.size(F.regexp_extract_all(lower, F.lit("[a-z0-9]+"), 0))
+    marker = (
+        lower.startswith("comments")
+        | lower.contains("add your comment")
+        | lower.contains("have your say")
+        | lower.rlike("^[^a-z0-9_]*[0-9]+ comments")
+    )
+    return docs.select(
+        "doc_id",
+        (marker & (nw < 50)).alias("is_terminator"),
+        nw.alias("num_words"),
+    ).orderBy("doc_id")
+
+
+TERMINATING_SQL = """
+SELECT doc_id,
+  ((lower(text) LIKE 'comments%'
+    OR lower(text) LIKE '%add your comment%'
+    OR lower(text) LIKE '%have your say%'
+    OR regexp_matches(lower(text), '^[^a-z0-9_]*[0-9]+ comments'))
+   AND len(regexp_extract_all(lower(text), '[a-z0-9]+')) < 50)
+    AS is_terminator,
+  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS num_words
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# clause acceptance  <- MinClauseWordsFilter                          #
+# ------------------------------------------------------------------ #
+
+
+def min_clause_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    clauses = F.split(F.concat(F.col("text"), F.lit(" ")), "[,.:;!?]+\\s+")
+    has_clause = F.exists(
+        clauses, lambda c: F.size(F.split(F.trim(c), "\\s+")) >= 5
+    )
+    return docs.select(
+        "doc_id", F.coalesce(has_clause, F.lit(False)).alias("has_clause")
+    ).orderBy("doc_id")
+
+
+MIN_CLAUSE_SQL = """
+SELECT doc_id,
+  coalesce(len(list_filter(
+    regexp_split_to_array(text || ' ', '[,.:;!?]+\\s+'),
+    c -> len(regexp_split_to_array(trim(c), '\\s+')) >= 5)) > 0, FALSE)
+  AS has_clause
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------------ #
+# sentence explode  <- SplitParagraphBlocksFilter                     #
+# ------------------------------------------------------------------ #
+
+
+def split_sentences(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sentences = F.split(F.col("text"), "\\.\\s+")
+    out = docs.select(
+        "doc_id", F.posexplode(sentences).alias("sentence_idx", "sentence")
+    ).filter(F.length(F.trim(F.col("sentence"))) > 0)
+    return out.select(
+        "doc_id",
+        "sentence_idx",
+        F.length("sentence").alias("sentence_len"),
+    ).orderBy("doc_id", "sentence_idx")
+
+
+SPLIT_SENTENCES_SQL = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS arr FROM documents
+), ix AS (
+  SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM d
+)
+SELECT doc_id, (i - 1)::INT AS sentence_idx, length(arr[i])::INT AS sentence_len
+FROM ix
+WHERE length(trim(arr[i])) > 0
+ORDER BY doc_id, sentence_idx
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "numwords_rules_classify": numwords_rules_classify,
+    "running_sum_cutoff": running_sum_cutoff,
+    "keep_largest_per_group": keep_largest_per_group,
+    "sessionize_events": sessionize_events,
+    "fuse_adjacent_equal": fuse_adjacent_equal,
+    "terminating_markers": terminating_markers,
+    "min_clause_docs": min_clause_docs,
+    "split_sentences": split_sentences,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "numwords_rules_classify": NUMWORDS_RULES_SQL,
+    "running_sum_cutoff": RUNNING_SUM_CUTOFF_SQL,
+    "keep_largest_per_group": KEEP_LARGEST_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "fuse_adjacent_equal": FUSE_ADJACENT_SQL,
+    "terminating_markers": TERMINATING_SQL,
+    "min_clause_docs": MIN_CLAUSE_SQL,
+    "split_sentences": SPLIT_SENTENCES_SQL,
+}

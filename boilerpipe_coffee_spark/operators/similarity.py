@@ -1,0 +1,159 @@
+"""Similarity search over the embeddings table (vec_id, embedding
+float[64], label).
+
+- brute-force cosine top-k: the correctness baseline; at scale this is
+  a broadcast of the (small) query set against a full scan -- no
+  shuffle beyond the final per-query top-k.
+- random-hyperplane LSH buckets: the scale path; 8 deterministic
+  md5-derived hyperplanes hash each vector to a 8-bit bucket, so
+  candidate generation is a narrow (bucket -> [vec_id]) exchange and
+  in-bucket search is local.
+
+Hyperplane weights are md5-derived so Spark and the DuckDB oracle
+compute identical planes: w[p][d] = ((0x-prefix of md5('p:d')) % 2001
+- 1000) / 1000.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+DIM = 64
+TOP_K = 5
+N_QUERIES = 3  # vec_id 0..2 are the query vectors
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic hyperplane weight, identical to the SQL formula."""
+    h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for query vectors 0..2."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    joined = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q"))), 4
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM emb e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine
+FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
+"""
+
+
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8-bit bucket per vector + bucket sizes."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bucket = None
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(plane_weight(p, d)) for d in range(1, DIM + 1)])
+        bit = F.when(_dot(F.col("v"), plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    out = emb.select("vec_id", bucket.cast("int").alias("bucket"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket")
+    return out.select(
+        "vec_id", "bucket", F.count("*").over(w).alias("bucket_size")
+    ).orderBy("vec_id")
+
+
+def _ann_sql() -> str:
+    planes = []
+    for p in range(N_PLANES):
+        plane = (
+            f"list_transform(range(1, {DIM + 1}), d -> "
+            f"((('0x' || substring(md5('{p}:' || d), 1, 15))::BIGINT % 2001 - 1000)"
+            f" / 1000.0))"
+        )
+        planes.append(
+            f"(CASE WHEN list_dot_product(v, {plane}) >= 0 "
+            f"THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(planes)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), b AS (
+  SELECT vec_id, ({bucket})::INT AS bucket FROM emb
+)
+SELECT vec_id, bucket,
+       count(*) OVER (PARTITION BY bucket) AS bucket_size
+FROM b ORDER BY vec_id
+"""
+
+
+ANN_LSH_SQL = _ann_sql()
+
+
+QUERIES = {
+    "embedding_cosine_topk": cosine_topk,
+    "ann_lsh_buckets": ann_lsh_buckets,
+}
+
+ORACLES = {
+    "embedding_cosine_topk": COSINE_TOPK_SQL,
+    "ann_lsh_buckets": ANN_LSH_SQL,
+}

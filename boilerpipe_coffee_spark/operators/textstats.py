@@ -1,0 +1,227 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.  Each is a
+(Spark, DuckDB-oracle) pair over the ``documents`` table with
+bit-identical md5-derived hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "a"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "avec", "un", "une", "je"],
+}
+
+_TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_TOKENS_DUCK = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _arr_lit(words):
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _list_lit(words):
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def lang_id(spark, sf_dir):
+    """n-gram/stopword heuristic language ID: distinct-token hits per
+    language list, argmax with deterministic tie order en > de > fr."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(f"array_distinct({_TOKENS})")
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.expr(_arr_lit(words))))
+        for lang, words in STOPWORDS.items()
+    }
+    guess = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]), F.lit("en")
+        )
+        .when(hits["de"] >= hits["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        guess.alias("lang_guess"),
+    ).orderBy("doc_id")
+
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_TOKENS_DUCK}) AS toks FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_intersect(toks, {_list_lit(STOPWORDS['en'])})) AS en_hits,
+         len(list_intersect(toks, {_list_lit(STOPWORDS['de'])})) AS de_hits,
+         len(list_intersect(toks, {_list_lit(STOPWORDS['fr'])})) AS fr_hits
+  FROM t
+)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       WHEN de_hits >= fr_hits THEN 'de'
+       ELSE 'fr' END AS lang_guess
+FROM h ORDER BY doc_id
+"""
+
+
+def quality_score(spark, sf_dir):
+    """Composite quality score: length, mean word length, stopword
+    ratio, punctuation ratio -- the usual cheap pretraining filters."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    n_tok = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, x: acc + F.length(x)
+        )
+        / F.greatest(n_tok, F.lit(1)),
+        4,
+    )
+    stop_ratio = F.round(
+        F.size(
+            F.filter(
+                toks,
+                lambda x: F.array_contains(
+                    F.expr(_arr_lit(STOPWORDS["en"])), x
+                ),
+            )
+        )
+        / F.greatest(n_tok, F.lit(1)),
+        4,
+    )
+    punct_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))
+        )
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+    score = F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + (1 - punct_ratio) * 0.3,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        score.alias("quality"),
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents
+), m AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    round(list_sum(list_transform(toks, x -> length(x)))
+          / greatest(len(toks), 1), 4) AS mean_word_len,
+    round(len(list_filter(toks,
+          x -> list_contains({_list_lit(STOPWORDS['en'])}, x)))
+          / greatest(len(toks), 1), 4) AS stopword_ratio,
+    round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+          / greatest(length(text), 1), 4) AS punct_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+        + (1 - punct_ratio) * 0.3, 4) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def token_count(spark, sf_dir):
+    """Whitespace tokens + a BPE-ish regex token count (letter runs,
+    digit runs, single punctuation marks)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0
+        )
+    )
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("fertility"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNT_SQL = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+    AS ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+    AS bpe_tokens,
+  round(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+        / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')), 1), 4) AS fertility
+FROM documents ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """min-k sketch fingerprint: md5 over 8-char shingles (stride 4) of
+    the normalized text; the 4 smallest hashes concatenated."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(length(_norm) - 7, 1), 4), "
+        "i -> md5(substring(_norm, i, 8)))"
+    )
+    fp = F.concat_ws(
+        "|", F.slice(F.array_sort(shingles), 1, 4)
+    )
+    return (
+        docs.withColumn("_norm", norm)
+        .select("doc_id", fp.alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS norm
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    list_sort(list_transform(
+      range(1, greatest(length(norm) - 7, 1) + 1, 4),
+      i -> md5(substring(norm, i, 8)))) AS hashes
+  FROM n
+)
+SELECT doc_id, array_to_string(hashes[1:4], '|') AS fingerprint
+FROM s ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+}

@@ -1,0 +1,104 @@
+"""Mimic the driver's CORRECTNESS check: run every ``queries()`` entry
+on Spark and its ``oracle_sql()`` twin on DuckDB over the same parquet
+tables, and compare row count, sorted column names, and values
+(column-name-sorted, row-sorted, floats rounded) -- a superset of the
+driver's order-insensitive value hash."""
+
+import math
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    rel = con.sql(sql)
+    cols, rows = rel.columns, rel.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _norm_cell(v):
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 4)
+    if isinstance(v, int):
+        return int(v)
+    return v
+
+
+def _normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def _entry_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRY = _entry_mod()
+SQL_NAMES = sorted(ENTRY.oracle_sql().keys())
+ROWS_ONLY = sorted(set(ENTRY.queries().keys()) - set(SQL_NAMES))
+
+
+@pytest.mark.parametrize("name", SQL_NAMES)
+def test_query_vs_duckdb(spark, name):
+    q = ENTRY.queries()[name]
+    sql = ENTRY.oracle_sql()[name]
+    sdf = q(spark, SF_DIR)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    d_cols, d_rows = _duck(sql)
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column names differ"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    _, s_norm = _normalize(s_cols, s_rows)
+    _, d_norm = _normalize(d_cols, d_rows)
+    diffs = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not diffs, f"{name}: {len(diffs)} differing rows; first: {diffs[0]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    q = ENTRY.queries()[name]
+    df = q(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = ENTRY.entry(spark)
+    assert df.count() > 0
