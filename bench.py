@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+
+  {"metric": "article_extract_wall_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "docs_per_sec": <headline throughput>, "n_docs": N}
+
+The headline metric is ArticleExtractor throughput over the
+deterministic interleaved corpus (FIXTURES.md), materialized once to
+parquet so the timed job is scan -> extract -> count, like production.
+
+--scaling: cluster-size scaling evidence (BASELINE.json north rule):
+runs the same extraction job on the same input at local[8] and
+local[32] in fresh JVMs and reports both throughputs + efficiency
+(T32/T8)/4.
+
+--extract-only --master M --docs N --corpus PATH: internal child mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DOCS_PER_SF = 200_000  # sf 0.1 -> 20k interleaved docs
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus_path(sf: float, n_docs: int) -> str:
+    return f"/tmp/bpc_bench_corpus_sf{sf}_n{n_docs}"
+
+
+def _materialize_corpus(spark, sf: float, n_docs: int) -> str:
+    # many small files so the scan splits into enough tasks for any
+    # core count under test (production relies on
+    # spark.sql.files.maxPartitionBytes for the same effect)
+    path = _corpus_path(sf, n_docs)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from boilerpipe_coffee_spark.sources import synth_interleaved
+
+        synth_interleaved(
+            spark, n_docs, seed=42, partitions=max(256, n_docs // 200)
+        ).write.mode("overwrite").parquet(path)
+    return path
+
+
+_BENCH_CONF = {
+    # split the scan fine enough that every core has several tasks;
+    # at bench scale files are ~1 MB, production uses the default 128m
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "262144",
+}
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def run_bench() -> dict:
+    from boilerpipe_coffee_spark.operators import extract, extract_staged
+    from boilerpipe_coffee_spark.plans import get_spark
+    from boilerpipe_coffee_spark.sources import read_interleaved
+
+    sf = _sf_from_dir(SF_DIR)
+    n_docs = max(int(DOCS_PER_SF * sf), 500)
+    spark = get_spark("bpc-bench", master=f"local[{CPUS}]", extra_conf=_BENCH_CONF)
+    corpus = _materialize_corpus(spark, sf, n_docs)
+
+    queries: dict[str, float] = {}
+
+    # headline: production extraction (scan -> mapInPandas -> count)
+    docs = read_interleaved(spark, corpus)
+    _, warm = _timed(lambda: extract(docs, "ArticleExtractor").count())
+    n_out, headline = _timed(lambda: extract(docs, "ArticleExtractor").count())
+    queries["extract_article"] = round(headline, 3)
+    queries["extract_article_warmup"] = round(warm, 3)
+
+    _, t = _timed(lambda: extract(docs, "DefaultExtractor").count())
+    queries["extract_default"] = round(t, 3)
+
+    _, t = _timed(lambda: extract_staged(docs, "ArticleExtractor").count())
+    queries["extract_article_staged"] = round(t, 3)
+
+    # operator suite on the driver tables
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(ROOT, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    qs = entry.queries()
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "sessionize_events",
+        "numwords_rules_classify",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embedding_cosine_topk",
+        "ann_lsh_buckets",
+        "lang_id",
+        "quality_score",
+        "token_count",
+        "doc_fingerprint",
+    ]:
+        _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
+        queries[name] = round(t, 3)
+
+    spark.stop()
+    return {
+        "metric": "article_extract_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "docs_out": n_out,
+        "cpus": CPUS,
+    }
+
+
+def run_extract_only(master: str, n_docs: int, corpus: str) -> dict:
+    from boilerpipe_coffee_spark.operators import extract
+    from boilerpipe_coffee_spark.plans import get_spark
+    from boilerpipe_coffee_spark.sources import read_interleaved
+
+    spark = get_spark("bpc-scaling", master=master, extra_conf=_BENCH_CONF)
+    docs = read_interleaved(spark, corpus)
+    extract(docs, "ArticleExtractor").count()  # warm (JIT, python workers)
+    t0 = time.time()
+    extract(docs, "ArticleExtractor").count()
+    wall = time.time() - t0
+    spark.stop()
+    return {"master": master, "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n_docs / wall, 1)}
+
+
+def run_scaling(n_docs: int) -> dict:
+    """Same job, same input, local[8] vs local[32] (the sandbox stand-in
+    for N vs 4N executors)."""
+    sf = _sf_from_dir(SF_DIR)
+    from boilerpipe_coffee_spark.plans import get_spark
+
+    spark = get_spark("bpc-corpus", master=f"local[{CPUS}]", extra_conf=_BENCH_CONF)
+    corpus = _materialize_corpus(spark, sf, n_docs)
+    spark.stop()
+
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--extract-only",
+                "--master",
+                f"local[{cores}]",
+                "--docs",
+                str(n_docs),
+                "--corpus",
+                corpus,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[f"local[{cores}]"] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8 = results["local[8]"]["docs_per_sec"]
+    t32 = results["local[32]"]["docs_per_sec"]
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round((t32 / t8) / 4.0, 3),
+        "unit": "ratio",
+        "n_docs": n_docs,
+        "sf": sf,
+        "local[8]": results["local[8]"],
+        "local[32]": results["local[32]"],
+    }
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--extract-only", action="store_true")
+    ap.add_argument("--master", default=f"local[{CPUS}]")
+    ap.add_argument(
+        "--docs",
+        type=int,
+        default=int(DOCS_PER_SF * _sf_from_dir(SF_DIR)),
+    )
+    ap.add_argument("--corpus", default=None)
+    args = ap.parse_args()
+
+    if args.extract_only:
+        print(json.dumps(run_extract_only(args.master, args.docs, args.corpus)))
+    elif args.scaling:
+        # 3x the headline size so per-run wall time amortizes fixed
+        # startup (JIT, python worker fork) at both core counts
+        print(json.dumps(run_scaling(args.docs * 3)))
+    else:
+        print(json.dumps(run_bench()))

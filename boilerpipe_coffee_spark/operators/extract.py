@@ -244,18 +244,21 @@ def extract_staged(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
 
     blocks = parse_blocks(df)
 
+    has_window_stage = False
     if extractor == "ArticleExtractor":
         blocks = columnar.terminating_blocks_finder(blocks)
         # DocumentTitleMatchClassifier(null, false) is a no-op (Q3)
         blocks = columnar.num_words_rules_classifier(blocks)
         blocks = columnar.ignore_blocks_after_content(blocks, 60)
+        has_window_stage = True
     elif extractor == "LargestContentExtractor":
         blocks = columnar.num_words_rules_classifier(blocks)
+        has_window_stage = True
     elif extractor == "KeepEverythingExtractor":
         blocks = columnar.mark_everything_content(blocks)
     elif extractor in ("DefaultExtractor", "Unfiltered"):
         pass  # SimpleBlockFusion runs first -> handled in the fusion tail
-    else:
-        pass
 
-    return fuse_and_assemble(blocks, extractor)
+    # window stages leave blocks hash-partitioned by doc_id and sorted;
+    # chains without one need the layout established explicitly
+    return fuse_and_assemble(blocks, extractor, ensure_layout=not has_window_stage)

@@ -4,22 +4,30 @@ BlockProximityFusion / RemoveNonContentBlocksFilter /
 KeepLargestBlockFilter (and SimpleBlockFusion + DensityRules for the
 DefaultExtractor) mutate a live per-document block array with
 snapshot-iteration and skip-on-remove quirks (Q5-Q9) -- inherently
-sequential per document.  They run here as ONE ``applyInPandas`` over
-``groupBy(doc_id)``; the grouping reuses the hash partitioning the
-columnar window stages already established, so the staged pipeline
-costs a single exchange end to end.
+sequential per document.
 
-Inside the group we rebuild core TextBlocks and run the verified core
+Execution strategy: after the columnar window stages the blocks are
+hash-partitioned by doc_id and sorted (doc_id, is_media, block_offset),
+so documents are CONTIGUOUS runs within each partition.  Instead of
+``groupBy().applyInPandas`` -- which pays a per-group python call
+(~1 ms) that dwarfs the per-document work at millions of tiny groups --
+we stream whole partitions through ``mapInPandas`` and split doc runs
+ourselves, carrying the tail rows of each Arrow batch into the next so
+a document straddling batch boundaries is never split.  Same single
+exchange, ~20x less per-doc overhead.
+
+Inside a run we rebuild core TextBlocks and apply the verified core
 filters -- the same code the production path uses -- so quirk parity is
 structural, not re-derived.
 """
 
 from __future__ import annotations
 
-import math
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..core.document import END_OF_TEXT, TextBlock, TextDocument
 from ..core.filters import (
@@ -55,33 +63,71 @@ _TAILS = {
     "Unfiltered": lambda: [],
 }
 
+_COLS = [
+    "doc_id",
+    "title",
+    "is_media",
+    "block_offset",
+    "span_offset",
+    "text",
+    "tag_level",
+    "num_words",
+    "num_words_anchor",
+    "num_words_wrapped",
+    "num_wrapped_lines",
+    "kind",
+    "media_ref",
+    "media_offset",
+    "error",
+    "is_content",
+    "end_of_text",
+]
 
-def _rebuild_block(row) -> TextBlock:
-    tb = TextBlock(
-        row.text,
-        None,
-        int(row.tag_level),
-        int(row.num_words),
-        int(row.num_words_anchor),
-        int(row.num_words_wrapped),
-        int(row.num_wrapped_lines),
-        int(row.block_offset),
-        src_pos=int(row.span_offset),  # src_pos doubles as span owner
-    )
-    tb.is_content = bool(row.is_content) if row.is_content is not None else False
-    if row.end_of_text:
-        tb.add_label(END_OF_TEXT)
-    return tb
 
-
-def _assemble(doc_id, title, doc, media_rows):
-    keyed = []
-    for tb in doc.text_blocks:
-        if not tb.is_content:
+def _process_doc(doc_id, rows, tail_factory):
+    """rows: list of tuples in _COLS order, sorted blocks-then-media."""
+    title = ""
+    blocks = []
+    media = []
+    for r in rows:
+        if r[14] is not None:  # error
+            return {"doc_id": doc_id, "title": "", "spans": [], "error": r[14]}
+        if not title and r[1]:
+            title = r[1]
+        if r[2]:  # is_media
+            media.append((r[11], r[12], int(r[13])))
             continue
-        keyed.append(((tb.src_pos, tb.offset_start), "text", tb.text, None))
-    for kind, ref, offset in media_rows:
-        keyed.append(((offset, -1), kind, None, ref))
+        if r[11] == "empty":  # zero-block placeholder row
+            continue
+        tb = TextBlock(
+            r[5],
+            None,
+            int(r[6]),
+            int(r[7]),
+            int(r[8]),
+            int(r[9]),
+            int(r[10]),
+            int(r[3]),
+            src_pos=int(r[4]),  # src_pos doubles as owning span offset
+        )
+        tb.is_content = bool(r[15]) if r[15] is not None else False
+        if r[16]:
+            tb.add_label(END_OF_TEXT)
+        blocks.append(tb)
+
+    doc = TextDocument(title, blocks)
+    try:
+        for f in tail_factory():
+            f.process(doc)
+    except ReferenceThrow:
+        return {"doc_id": doc_id, "title": "", "spans": [], "error": REFERENCE_THROW}
+
+    keyed = [
+        ((tb.src_pos, tb.offset_start), "text", tb.text, None)
+        for tb in doc.text_blocks
+        if tb.is_content
+    ]
+    keyed.extend(((off, -1), kind, None, ref) for kind, ref, off in media)
     keyed.sort(key=lambda item: item[0])
     return {
         "doc_id": doc_id,
@@ -94,49 +140,59 @@ def _assemble(doc_id, title, doc, media_rows):
     }
 
 
-def fuse_and_assemble(blocks: DataFrame, extractor: str) -> DataFrame:
+def fuse_and_assemble(blocks: DataFrame, extractor: str,
+                      ensure_layout: bool = False) -> DataFrame:
+    """blocks must arrive hash-partitioned by doc_id and sorted
+    (doc_id, is_media, block_offset) -- the window stages guarantee it;
+    pass ensure_layout=True when no window stage ran."""
     tail_factory = _TAILS.get(extractor, _TAILS["DefaultExtractor"])
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for doc_id, g in pdf.groupby("doc_id", sort=False):
-            if g["error"].notna().any():
-                err = g.loc[g["error"].notna(), "error"].iloc[0]
-                out.append(
-                    {"doc_id": doc_id, "title": "", "spans": [], "error": err}
-                )
-                continue
-            media_mask = g["is_media"].fillna(False)
-            brows = g[~media_mask & (g["kind"] != "empty")].sort_values(
-                "block_offset"
-            )
-            title = ""
-            if len(g):
-                t = g["title"].dropna()
-                if len(t):
-                    title = t.iloc[0]
-            blocks_list = [_rebuild_block(r) for r in brows.itertuples()]
-            doc = TextDocument(title, blocks_list)
-            try:
-                for f in tail_factory():
-                    f.process(doc)
-            except ReferenceThrow:
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "title": "",
-                        "spans": [],
-                        "error": REFERENCE_THROW,
-                    }
-                )
-                continue
-            media_rows = [
-                (r.kind, r.media_ref, int(r.media_offset))
-                for r in g[media_mask].itertuples()
-            ]
-            out.append(_assemble(doc_id, title, doc, media_rows))
-        if not out:
-            return pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
-        return pd.DataFrame(out)
+    if ensure_layout:
+        blocks = blocks.repartition("doc_id").sortWithinPartitions(
+            "doc_id", "is_media", "block_offset"
+        )
 
-    return blocks.groupBy("doc_id").applyInPandas(run, schema=OUTPUT_SCHEMA)
+    proj = blocks.select(*_COLS)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_id = None
+        carry_rows: list = []
+
+        def flush(doc_rows_by_id):
+            recs = [
+                _process_doc(d, rows, tail_factory)
+                for d, rows in doc_rows_by_id
+            ]
+            return pd.DataFrame(recs) if recs else None
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            rows = list(pdf.itertuples(index=False, name=None))
+            runs: list = []
+            start = 0
+            for i in range(1, len(rows)):
+                if ids[i] != ids[i - 1]:
+                    runs.append((ids[start], rows[start:i]))
+                    start = i
+            runs.append((ids[start], rows[start:]))
+            done: list = []
+            for rid, rrows in runs:
+                if carry_id is not None and rid == carry_id:
+                    carry_rows.extend(rrows)
+                    continue
+                if carry_id is not None:
+                    done.append((carry_id, carry_rows))
+                carry_id, carry_rows = rid, list(rrows)
+            # carry always holds the last run seen; it may continue in
+            # the next batch
+            out = flush(done)
+            if out is not None:
+                yield out
+        if carry_id is not None:
+            out = flush([(carry_id, carry_rows)])
+            if out is not None:
+                yield out
+
+    return proj.mapInPandas(run, schema=OUTPUT_SCHEMA)
