@@ -22,9 +22,14 @@ from pyspark.sql import functions as F
 
 from ..core.jsquirks import JS_WS
 
-# one window spec shared by every stage -> one shuffle
-W = Window.partitionBy("doc_id").orderBy("is_media", "block_offset")
-W_CUM = W.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+# one window spec shared by every stage -> one shuffle.  Built lazily:
+# WindowSpec construction needs an active SparkSession.
+def _w():
+    return Window.partitionBy("doc_id").orderBy("is_media", "block_offset")
+
+
+def _w_cum():
+    return _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
 _JS_TRIM = f"^[{JS_WS}]+|[{JS_WS}]+$"
 
@@ -83,9 +88,9 @@ def num_words_rules_classifier(df: DataFrame) -> DataFrame:
     """NumWordsRulesClassifier (Filters.coffee:529-553): C4.8 tree over
     (prev, curr, next) via lag/lead.  NULL comparisons at edges fall
     through exactly like the JS undefined comparisons (Q2)."""
-    prev_ld = F.lag("link_density").over(W)
-    prev_nw = F.lag("num_words").over(W)
-    next_nw = F.lead("num_words").over(W)
+    prev_ld = F.lag("link_density").over(_w())
+    prev_nw = F.lag("num_words").over(_w())
+    next_nw = F.lead("num_words").over(_w())
     curr_ld = F.col("link_density")
     curr_nw = F.col("num_words")
 
@@ -107,9 +112,9 @@ def density_rules_classifier(df: DataFrame) -> DataFrame:
     """DensityRulesClassifier (Filters.coffee:561-592).  Note
     ``next.textDensity != 0`` is TRUE for the JS undefined boundary ->
     coalesce the NULL to true."""
-    prev_ld = F.lag("link_density").over(W)
-    prev_td = F.lag("text_density").over(W)
-    next_td = F.lead("text_density").over(W)
+    prev_ld = F.lag("link_density").over(_w())
+    prev_td = F.lag("text_density").over(_w())
+    next_td = F.lead("text_density").over(_w())
     curr_ld = F.col("link_density")
     curr_td = F.col("text_density")
 
@@ -150,11 +155,11 @@ def ignore_blocks_after_content(df: DataFrame, min_words: int = 60) -> DataFrame
     full_text_words = F.when(
         F.col("is_content") & (F.col("text_density") >= 9), F.col("num_words")
     ).otherwise(F.lit(0))
-    cum = F.sum(full_text_words).over(W_CUM)
+    cum = F.sum(full_text_words).over(_w_cum())
     trigger = F.when(
         F.col("end_of_text") & (cum >= min_words), F.lit(1)
     ).otherwise(F.lit(0))
-    hit = F.max(trigger).over(W_CUM)
+    hit = F.max(trigger).over(_w_cum())
     return _keep_media(
         df,
         "is_content",

@@ -1,0 +1,135 @@
+"""Tests for the partitioned resume runner, standalone columnar
+filters, and multimodal plumbing."""
+
+import shutil
+
+import pytest
+
+from boilerpipe_coffee_spark.operators import extract, parse_blocks
+from boilerpipe_coffee_spark.operators import columnar
+from boilerpipe_coffee_spark.operators.multimodal import (
+    decode_features,
+    media_payloads,
+)
+from boilerpipe_coffee_spark.operators.pipeline import run_partitioned
+from boilerpipe_coffee_spark.sources import INTERLEAVED_SCHEMA, synth_interleaved
+
+from helpers import load_golden
+
+
+@pytest.fixture(scope="module")
+def t1_df(spark):
+    docs = load_golden("t1_docs")
+    rows = [(d["doc_id"], d["spans"]) for d in docs]
+    return spark.createDataFrame(rows, schema=INTERLEAVED_SCHEMA).cache()
+
+
+def test_run_partitioned_resume(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("ppl"))
+    docs = synth_interleaved(spark, 60, seed=7, partitions=4)
+    s1 = run_partitioned(spark, docs, out_dir, n_buckets=4)
+    assert s1["buckets_run"] == 4 and s1["buckets_skipped"] == 0
+    assert s1["docs_out"] == 60
+    # resume: everything committed -> nothing re-runs
+    s2 = run_partitioned(spark, docs, out_dir, n_buckets=4)
+    assert s2["buckets_run"] == 0 and s2["buckets_skipped"] == 4
+    # drop one bucket's metrics -> only that bucket re-runs
+    shutil.rmtree(out_dir + "/metrics")
+    s3 = run_partitioned(spark, docs, out_dir, n_buckets=4)
+    assert s3["buckets_run"] == 4
+    total = spark.read.parquet(out_dir + "/data").count()
+    assert total == 60
+
+
+def test_columnar_inverted_and_mark(spark, t1_df):
+    blocks = parse_blocks(t1_df.limit(20))
+    marked = columnar.mark_everything_content(blocks)
+    inv = columnar.inverted_filter(marked)
+    rows = inv.filter(~inv.is_media & inv.error.isNull()).select(
+        "is_content"
+    ).collect()
+    assert rows and all(r.is_content is False for r in rows)
+
+
+def test_columnar_min_clause_words_matches_core(spark):
+    from boilerpipe_coffee_spark.core.filters import MinClauseWordsFilter
+    from helpers import document_with_parameters
+
+    texts = [
+        "This is a clause, because it is separated by a comma.",
+        "Real short",
+        "Lots of, very, very, very, small, clauses.",
+        "No delimiter here so it should not count as a clause at all",
+        "One two three four five, done.",
+    ]
+    doc = document_with_parameters(texts, None, [True] * len(texts))
+    MinClauseWordsFilter(5, False).process(doc)
+    expected = [bool(tb.is_content) for tb in doc.text_blocks]
+
+    rows = [
+        ("d0", "t", False, i, 0, t, 1, 10, 0, 10, 1, 10.0, 0.0, "text",
+         None, None, None, True, False)
+        for i, t in enumerate(texts)
+    ]
+    from boilerpipe_coffee_spark.operators.extract import BLOCKS_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=BLOCKS_SCHEMA)
+    got = [
+        r.is_content
+        for r in columnar.min_clause_words(df).orderBy("block_offset").collect()
+    ]
+    assert got == expected
+
+
+def test_columnar_keep_largest_matches_core_semantics(spark):
+    from boilerpipe_coffee_spark.operators.extract import BLOCKS_SCHEMA
+
+    # doc A: largest is block 2 (50 words); tie case doc B: later wins
+    rows = [
+        ("A", "t", False, 0, 0, "x", 1, 10, 0, 10, 1, 10.0, 0.0, "text",
+         None, None, None, False, False),
+        ("A", "t", False, 1, 0, "y", 1, 50, 0, 50, 1, 50.0, 0.0, "text",
+         None, None, None, True, False),
+        ("A", "t", False, 2, 0, "z", 1, 10, 0, 10, 1, 10.0, 0.0, "text",
+         None, None, None, True, False),
+        ("B", "t", False, 0, 0, "p", 1, 20, 0, 20, 1, 20.0, 0.0, "text",
+         None, None, None, True, False),
+        ("B", "t", False, 1, 0, "q", 1, 20, 0, 20, 1, 20.0, 0.0, "text",
+         None, None, None, True, False),
+        # doc C: two blocks, zero content -> reference throw (Q9)
+        ("C", "t", False, 0, 0, "r", 1, 5, 0, 5, 1, 5.0, 0.0, "text",
+         None, None, None, False, False),
+        ("C", "t", False, 1, 0, "s", 1, 5, 0, 5, 1, 5.0, 0.0, "text",
+         None, None, None, False, False),
+    ]
+    df = spark.createDataFrame(rows, schema=BLOCKS_SCHEMA)
+    out = columnar.keep_largest_block(df).orderBy("doc_id", "block_offset")
+    got = [(r.doc_id, r.block_offset, r.is_content, r.error) for r in out.collect()]
+    assert got == [
+        ("A", 0, False, None),
+        ("A", 1, True, None),
+        ("A", 2, False, None),
+        ("B", 0, False, None),
+        ("B", 1, True, None),  # Q8 tie -> later block
+        ("C", 0, False, "reference_throw"),
+        ("C", 1, False, "reference_throw"),
+    ]
+
+
+def test_multimodal_decode(spark, t1_df):
+    out = extract(t1_df, "KeepEverythingExtractor")
+    media = media_payloads(out)
+    feats = decode_features(media)
+    rows = feats.collect()
+    assert rows, "t1 corpus contains media spans"
+    for r in rows:
+        assert r.n_bytes == 16  # md5 payload stub
+        assert len(r.magic) == 8
+        assert len(r.embedding) == 8
+        if r.kind == "image":
+            assert r.width and r.height and r.duration_ms is None
+        if r.kind == "audio":
+            assert r.duration_ms and r.width is None
+    # deterministic across runs
+    again = decode_features(media).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
