@@ -70,6 +70,19 @@ VOID_ELEMENTS = frozenset(
 # htmlparser2 Tokenizer.js:87-89 (NOT unicode, NOT \v)
 _WS = " \n\t\f\r"
 
+import re as _re
+
+# Well-formed attribute region: any char except > " ' = flows through
+# the name/whitespace states; '=' must introduce a quoted or unquoted
+# value.  Wherever this matches, the end '>' is EXACTLY where the
+# Tokenizer state machine ends the tag; every other shape (bare quotes
+# in names, '=' directly before '>', unterminated values, EOF) falls
+# back to the exact state machine.
+_ATTR_FAST = _re.compile(
+    r"""(?:[^>"'=]|=[ \n\t\f\r]*"[^"]*"|=[ \n\t\f\r]*'[^']*'"""
+    r"""|=[ \n\t\f\r]*[^>"' \n\t\f\r]+)*>"""
+)
+
 _SPECIAL_NAME = {1: "script", 2: "style"}
 
 
@@ -97,10 +110,15 @@ class SaxScanner:
         def emit_close(name: str) -> None:
             # Parser.js:151-174 onclosetag
             if stack and name not in VOID_ELEMENTS:
-                try:
-                    pos = len(stack) - 1 - stack[::-1].index(name)
-                except ValueError:
-                    pos = -1
+                if stack[-1] == name:  # overwhelmingly common fast path
+                    stack.pop()
+                    on_close(name)
+                    return
+                pos = -1
+                for i in range(len(stack) - 2, -1, -1):
+                    if stack[i] == name:
+                        pos = i
+                        break
                 if pos != -1:
                     while len(stack) > pos:
                         on_close(stack.pop())
@@ -309,6 +327,18 @@ class SaxScanner:
                 break
 
             # attribute region scan (quote-aware) to find the tag end.
+            # Fast path: the well-formed-attrs regex (see _ATTR_FAST);
+            # anything it cannot prove equivalent falls back to the
+            # exact state machine below.
+            m = _ATTR_FAST.match(html, k)
+            if m is not None:
+                gt = m.end() - 1  # position of '>'
+                if name in ("script", "style"):
+                    special = 1 if name == "script" else 2
+                emit_open(name)
+                pos = i = gt + 1
+                continue
+
             # States: 0 before/after attr name, 5 in attr name,
             # 1 before-value, 2 dq, 3 sq, 4 nq
             state = 0

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 from .document import TextBlock, TextDocument
 from .htmlsax import sax_parse
-from .jsquirks import ReferenceThrow, is_word, strip_whitespace, tokenize
+from .jsquirks import JS_WS, ReferenceThrow, is_word, strip_whitespace, tokenize
+
+_JS_WS_SET = frozenset(JS_WS)
 
 # Parser.coffee:256-292 tag-action map
 IGNORABLE = "I"
@@ -124,8 +126,17 @@ class BoilerpipeParser:
             self.flush_block()
         if self.ignorable_element_depth > 0 or not text:
             return
-        if not strip_whitespace(text):
-            return  # Q13: whitespace-only nodes vanish entirely
+        # Q13: whitespace-only nodes vanish entirely.  Fast path: strip
+        # the ASCII whitespace subset (C-speed); only texts that are
+        # empty after that, or that start/end with exotic JS whitespace,
+        # need the exact JS-class regex.
+        st = text.strip(" \n\t\r\f\x0b")
+        if not st:
+            return
+        if (st[0] in _JS_WS_SET or st[-1] in _JS_WS_SET) and not strip_whitespace(
+            text
+        ):
+            return
         self.text_buffer.append(text)
         tokens = tokenize(text)
         if tokens:
