@@ -2,9 +2,10 @@
 
 Two pipelines, both golden-exact against the reference:
 
-1. :func:`extract` -- the PRODUCTION path.  One ``mapInPandas`` stage:
-   parse + filter chain + span reassembly per document inside Arrow
-   batches.  Documents are independent, so this is embarrassingly
+1. the PRODUCTION path (operators.arrow_extract.extract_arrow,
+   exported as ``extract``; :func:`extract_pandas` is the mapInPandas
+   reference variant).  One map stage: parse + filter chain + span
+   reassembly per document inside Arrow batches.  Documents are independent, so this is embarrassingly
    parallel with ZERO shuffles -- the plan is scan -> python eval ->
    sink, and at 10^12 documents the only costs are IO and CPU.  This is
    deliberately NOT a translation of the reference's per-document loop
@@ -48,7 +49,7 @@ from ..spans import extract_spans
 # ---------------------------------------------------------------- #
 
 
-def extract(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
+def extract_pandas(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
     """(doc_id, spans) -> (doc_id, title, spans, error).
 
     Reference parity: output spans match lib/Boilerpipe.js per document

@@ -25,7 +25,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .extract import extract
+from .arrow_extract import extract_arrow as extract
 
 
 def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
