@@ -161,7 +161,7 @@ def run_extract_only(master: str, n_docs: int, corpus: str) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
-def run_scaling(n_docs: int) -> dict:
+def run_scaling(n_docs: int, cores_pair=(8, 32)) -> dict:
     """Same job, same input, local[8] vs local[32] (the sandbox stand-in
     for N vs 4N executors)."""
     sf = _sf_from_dir(SF_DIR)
@@ -173,9 +173,10 @@ def run_scaling(n_docs: int) -> dict:
 
     # the sandbox shows large run-to-run variance (turbo/thermal/
     # neighbors), so interleave 3 runs per core count and use medians
-    samples: dict[str, list] = {"local[8]": [], "local[32]": []}
+    lo, hi = cores_pair
+    samples: dict[str, list] = {f"local[{lo}]": [], f"local[{hi}]": []}
     for _ in range(3):
-        for cores in (8, 32):
+        for cores in cores_pair:
             out = subprocess.run(
                 [
                     sys.executable,
@@ -197,16 +198,18 @@ def run_scaling(n_docs: int) -> dict:
             )
     import statistics
 
-    t8 = statistics.median(samples["local[8]"])
-    t32 = statistics.median(samples["local[32]"])
+    t_lo = statistics.median(samples[f"local[{lo}]"])
+    t_hi = statistics.median(samples[f"local[{hi}]"])
     return {
-        "metric": "scaling_efficiency_8_to_32",
-        "value": round((t32 / t8) / 4.0, 3),
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
+        "value": round((t_hi / t_lo) / (hi / lo), 3),
         "unit": "ratio",
         "n_docs": n_docs,
         "sf": sf,
-        "local[8]": {"docs_per_sec_median": t8, "samples": samples["local[8]"]},
-        "local[32]": {"docs_per_sec_median": t32, "samples": samples["local[32]"]},
+        f"local[{lo}]": {"docs_per_sec_median": t_lo,
+                         "samples": samples[f"local[{lo}]"]},
+        f"local[{hi}]": {"docs_per_sec_median": t_hi,
+                         "samples": samples[f"local[{hi}]"]},
     }
 
 
@@ -221,6 +224,8 @@ if __name__ == "__main__":
         default=int(DOCS_PER_SF * _sf_from_dir(SF_DIR)),
     )
     ap.add_argument("--corpus", default=None)
+    ap.add_argument("--cores", default="8,32",
+                    help="N,4N core counts for --scaling")
     args = ap.parse_args()
 
     if args.extract_only:
@@ -228,6 +233,7 @@ if __name__ == "__main__":
     elif args.scaling:
         # 3x the headline size so per-run wall time amortizes fixed
         # startup (JIT, python worker fork) at both core counts
-        print(json.dumps(run_scaling(args.docs * 3)))
+        cores_pair = tuple(int(c) for c in args.cores.split(","))
+        print(json.dumps(run_scaling(args.docs * 3, cores_pair)))
     else:
         print(json.dumps(run_bench()))
