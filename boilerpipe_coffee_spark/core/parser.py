@@ -18,7 +18,15 @@ from __future__ import annotations
 
 from .document import TextBlock, TextDocument
 from .htmlsax import sax_parse
-from .jsquirks import JS_WS, ReferenceThrow, is_word, strip_whitespace, tokenize
+from .jsquirks import (
+    JS_WS,
+    RE_IS_WORD,
+    ReferenceThrow,
+    strip_whitespace,
+    tokenize,
+)
+
+_IS_WORD_SEARCH = RE_IS_WORD.search
 
 _JS_WS_SET = frozenset(JS_WS)
 
@@ -188,6 +196,7 @@ class BoilerpipeParser:
             self._clear_text_buffer()
             return
 
+        search = _IS_WORD_SEARCH
         num_words = 0
         num_words_in_anchor_text = 0
         num_wrapped_lines = 0
@@ -199,7 +208,7 @@ class BoilerpipeParser:
         for token in self.token_buffer:
             if type(token) is int:  # anchor sentinels
                 in_anchor_text = token == _ANCHOR_START
-            elif is_word(token):
+            elif search(token):
                 num_tokens += 1
                 num_words += 1
                 num_words_current_line += 1
