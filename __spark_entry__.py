@@ -111,6 +111,50 @@ def _extraction_queries() -> dict[str, Callable]:
             "embedding"
         )
 
+    def pretrain_pipeline(spark, sf_dir):
+        """End-to-end training-data pipeline over the interleaved
+        corpus: extract -> content text -> quality/lang/token stats ->
+        exact-dedup keep flag.  The composition a 100 TB pretraining
+        job runs; rows-only check (extraction is not SQL-expressible).
+        """
+        from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.sources import synth_interleaved
+
+        docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
+        out = extract(docs, "ArticleExtractor").filter(F.col("error").isNull())
+        content = out.select(
+            "doc_id",
+            "title",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
+                    lambda s: s.text,
+                ),
+            ).alias("text"),
+            F.size(F.filter(F.col("spans"), lambda s: s.kind != F.lit("text"))).alias(
+                "n_media"
+            ),
+        ).filter(F.length("text") > 0)
+        toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        featured = content.select(
+            "doc_id",
+            "title",
+            "n_media",
+            F.size(toks).alias("n_tokens"),
+            F.md5("text").alias("content_hash"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        return (
+            featured.withColumn("dup_rank", F.row_number().over(w))
+            .withColumn("keep", F.col("dup_rank") == 1)
+            .filter(F.col("n_tokens") >= 30)
+            .select("doc_id", "title", "n_tokens", "n_media", "keep")
+            .orderBy("doc_id")
+        )
+
     return {
         "extract_article_spans": article,
         "extract_default_spans": default,
@@ -118,6 +162,7 @@ def _extraction_queries() -> dict[str, Callable]:
         "extract_keepeverything_spans": keep_everything,
         "extract_article_staged": staged_article,
         "media_decode_features": media_features,
+        "pretrain_pipeline": pretrain_pipeline,
     }
 
 

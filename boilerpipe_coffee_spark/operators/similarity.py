@@ -148,12 +148,147 @@ FROM b ORDER BY vec_id
 ANN_LSH_SQL = _ann_sql()
 
 
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.95):
+    """Embedding-cosine near-duplicate pairs (brute-force baseline;
+    at scale the LSH/IVF cells bound the candidate set first)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v"))
+        / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMB_COS_SQL = """
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs
+WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
+"""
+
+
+N_IVF_CELLS = 8
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF variant: vectors 0..7 act as deterministic cell centroids;
+    every vector is assigned to its nearest centroid (cosine, ties ->
+    lower centroid id) and in-cell top-3 neighbors are returned for the
+    cell of each query vector 0..2.  The scale path: candidate search
+    touches one cell, not the corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv"))),
+            6,
+        ).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell_id, v AS cv FROM emb WHERE vec_id < {N_IVF_CELLS}
+), scored AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+  FROM emb e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
+  FROM assigned WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(a.v, q.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM assigned a JOIN q
+    ON a.cell_id = q.qcell AND a.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
+    "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
 }
