@@ -95,8 +95,18 @@ FROM documents GROUP BY md5(text) ORDER BY content_hash
 
 
 def dedup_ngram_jaccard(spark, sf_dir, threshold: float = 0.5):
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SHINGLES).alias("shingles")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', slice(toks, i, 3))) "
+                "ELSE array() END"
+            ).alias("shingles"),
+        )
     )
     sets = docs.select(
         "doc_id", F.array_distinct("shingles").alias("shingles")
@@ -156,9 +166,22 @@ ORDER BY doc_a, doc_b
 
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures + banded LSH candidate pairs."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(_SHINGLES).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # stage the token/shingle arrays through selects so Catalyst
+    # computes each once instead of re-evaluating the nested expr
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN "
+                "transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', slice(toks, i, 3))) "
+                "ELSE array() END"
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+    )
     ex = docs.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
     h = F.pmod(_h64(F.col("sh")), F.lit(_P))
     aggs = [

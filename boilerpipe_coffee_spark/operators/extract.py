@@ -132,110 +132,77 @@ def parse_blocks(df: DataFrame) -> DataFrame:
     from ..core.parser import BoilerpipeParser
     from ..spans import html_from_spans
 
+    names = [f.name for f in BLOCKS_SCHEMA.fields]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parser = BoilerpipeParser()
         for pdf in batches:
-            rows = []
+            cols = {name: [] for name in names}
+
+            def emit(doc_id, title, is_media, block_offset, span_offset,
+                     text, tag_level, num_words, num_words_anchor,
+                     num_words_wrapped, num_wrapped_lines, text_density,
+                     link_density, kind, media_ref, media_offset, error,
+                     is_content, end_of_text):
+                cols["doc_id"].append(doc_id)
+                cols["title"].append(title)
+                cols["is_media"].append(is_media)
+                cols["block_offset"].append(block_offset)
+                cols["span_offset"].append(span_offset)
+                cols["text"].append(text)
+                cols["tag_level"].append(tag_level)
+                cols["num_words"].append(num_words)
+                cols["num_words_anchor"].append(num_words_anchor)
+                cols["num_words_wrapped"].append(num_words_wrapped)
+                cols["num_wrapped_lines"].append(num_wrapped_lines)
+                cols["text_density"].append(text_density)
+                cols["link_density"].append(link_density)
+                cols["kind"].append(kind)
+                cols["media_ref"].append(media_ref)
+                cols["media_offset"].append(media_offset)
+                cols["error"].append(error)
+                cols["is_content"].append(is_content)
+                cols["end_of_text"].append(end_of_text)
+
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 spans = _as_dicts(spans)
                 html, starts, span_offsets = html_from_spans(spans)
                 try:
                     doc = parser.parse_document_from_html(html)
                 except ReferenceThrow:
-                    rows.append(_error_row(doc_id))
+                    emit(doc_id, "", False, None, None, None, None, None,
+                         None, None, None, None, None, None, None, None,
+                         "reference_throw", None, None)
                     continue
                 for tb in doc.text_blocks:
                     if tb.src_pos >= 0 and starts:
                         so = span_offsets[bisect_right(starts, tb.src_pos) - 1]
                     else:
                         so = span_offsets[0] if span_offsets else 0
-                    rows.append(
-                        {
-                            "doc_id": doc_id,
-                            "title": doc.title,
-                            "is_media": False,
-                            "block_offset": tb.offset_start,
-                            "span_offset": so,
-                            "text": tb.text,
-                            "tag_level": tb.tag_level,
-                            "num_words": tb.num_words,
-                            "num_words_anchor": int(tb.num_words_in_anchor_text),
-                            "num_words_wrapped": int(tb.num_words_in_wrapped_lines),
-                            "num_wrapped_lines": int(tb.num_wrapped_lines),
-                            "text_density": float(tb.text_density),
-                            "link_density": float(tb.link_density),
-                            "kind": "text",
-                            "media_ref": None,
-                            "media_offset": None,
-                            "error": None,
-                            "is_content": False,
-                            "end_of_text": False,
-                        }
-                    )
+                    emit(doc_id, doc.title, False, tb.offset_start, so,
+                         tb.text, tb.tag_level, tb.num_words,
+                         int(tb.num_words_in_anchor_text),
+                         int(tb.num_words_in_wrapped_lines),
+                         int(tb.num_wrapped_lines), float(tb.text_density),
+                         float(tb.link_density), "text", None, None, None,
+                         False, False)
+                has_media = False
                 for s in spans:
                     if s["kind"] != "text":
-                        rows.append(
-                            {
-                                "doc_id": doc_id,
-                                "title": doc.title,
-                                "is_media": True,
-                                "block_offset": None,
-                                "span_offset": None,
-                                "text": None,
-                                "tag_level": None,
-                                "num_words": None,
-                                "num_words_anchor": None,
-                                "num_words_wrapped": None,
-                                "num_wrapped_lines": None,
-                                "text_density": None,
-                                "link_density": None,
-                                "kind": s["kind"],
-                                "media_ref": s["media_ref"],
-                                "media_offset": s["offset"],
-                                "error": None,
-                                "is_content": None,
-                                "end_of_text": None,
-                            }
-                        )
-                if not doc.text_blocks and not any(
-                    s["kind"] != "text" for s in spans
-                ):
-                    rows.append(_empty_doc_row(doc_id, doc.title))
-            yield pd.DataFrame(rows, columns=[f.name for f in BLOCKS_SCHEMA.fields])
+                        has_media = True
+                        emit(doc_id, doc.title, True, None, None, None,
+                             None, None, None, None, None, None, None,
+                             s["kind"], s["media_ref"], s["offset"], None,
+                             None, None)
+                if not doc.text_blocks and not has_media:
+                    emit(doc_id, doc.title, False, None, None, None, None,
+                         None, None, None, None, None, None, "empty", None,
+                         None, None, None, None)
+            yield pd.DataFrame(cols, columns=names)
 
     return df.mapInPandas(run, schema=BLOCKS_SCHEMA)
 
 
-def _error_row(doc_id):
-    return {
-        "doc_id": doc_id,
-        "title": "",
-        "is_media": False,
-        "block_offset": None,
-        "span_offset": None,
-        "text": None,
-        "tag_level": None,
-        "num_words": None,
-        "num_words_anchor": None,
-        "num_words_wrapped": None,
-        "num_wrapped_lines": None,
-        "text_density": None,
-        "link_density": None,
-        "kind": None,
-        "media_ref": None,
-        "media_offset": None,
-        "error": "reference_throw",
-        "is_content": None,
-        "end_of_text": None,
-    }
-
-
-def _empty_doc_row(doc_id, title):
-    r = _error_row(doc_id)
-    r["title"] = title
-    r["error"] = None
-    r["kind"] = "empty"
-    return r
 
 
 def extract_staged(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:

@@ -148,7 +148,7 @@ FROM b ORDER BY vec_id
 ANN_LSH_SQL = _ann_sql()
 
 
-def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.95):
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.45):
     """Embedding-cosine near-duplicate pairs (brute-force baseline;
     at scale the LSH/IVF cells bound the candidate set first)."""
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -184,7 +184,7 @@ WITH emb AS (
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs
-WHERE cosine >= 0.95 ORDER BY vec_a, vec_b
+WHERE cosine >= 0.45 ORDER BY vec_a, vec_b
 """
 
 
