@@ -1,0 +1,41 @@
+"""Physical-plan hygiene: projection pushdown reaches the scan, small
+sides broadcast, and the production path stays exchange-free.  These
+are the 100 TB invariants -- a scan that reads all columns or a
+cosine query that plans a shuffled cartesian would regress silently
+without them."""
+
+from pyspark.sql import functions as F
+
+from boilerpipe_coffee_spark.operators import extract
+from boilerpipe_coffee_spark.operators.relational import q3_shipping_priority
+from boilerpipe_coffee_spark.operators.similarity import cosine_topk
+from boilerpipe_coffee_spark.sources import read_interleaved, synth_interleaved
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_projects_only_needed_columns(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scan"))
+    docs = synth_interleaved(spark, 20, seed=1, partitions=2)
+    # write with an extra column; the reader must prune it at the scan
+    docs.withColumn("junk", F.lit("x" * 100)).write.parquet(out + "/t")
+    plan = _plan(extract(read_interleaved(spark, out + "/t")))
+    assert "junk" not in plan.split("ReadSchema")[-1]
+    assert "doc_id" in plan.split("ReadSchema")[-1]
+
+
+def test_q3_uses_broadcast_joins(spark):
+    plan = _plan(q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _plan(cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the big side must not shuffle for the join itself
+    assert "CartesianProduct" not in plan
