@@ -46,8 +46,11 @@ def _sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+CORPUS_VERSION = "v1"  # bump when fixtures.py generation changes
+
+
 def _corpus_path(sf: float, n_docs: int) -> str:
-    return f"/tmp/bpc_bench_corpus_sf{sf}_n{n_docs}"
+    return f"/tmp/bpc_bench_corpus_{CORPUS_VERSION}_sf{sf}_n{n_docs}"
 
 
 def _materialize_corpus(spark, sf: float, n_docs: int) -> str:

@@ -260,3 +260,30 @@ def test_simple_fusion_chains_on_recomputed_density():
     changed = SimpleBlockFusionProcessor().process(document)
     assert changed is True
     assert len(document.text_blocks) == 1
+
+
+def test_q10_min_words_filter_strict_crashes_like_reference():
+    from boilerpipe_coffee_spark.core.filters import MinWordsFilter
+
+    document = document_with_parameters([10, 20], None, [True, True])
+    with pytest.raises(ReferenceThrow):
+        MinWordsFilter(5, strict=True).process(document)
+    # no content blocks -> the broken identifiers are never reached
+    doc2 = document_with_parameters([10, 20], None, [False, False])
+    assert MinWordsFilter(5, strict=True).process(doc2) is False
+    # intended semantics (non-strict)
+    doc3 = document_with_parameters([2, 20], None, [True, True])
+    assert MinWordsFilter(5, strict=False).process(doc3) is True
+    assert [b.is_content for b in doc3.text_blocks] == [False, True]
+
+
+def test_q10_canola_strict_crashes_intended_mode_classifies():
+    from boilerpipe_coffee_spark.core.filters import CanolaFilter
+
+    document = document_with_parameters([25, 3, 25], None, [False, False, False])
+    with pytest.raises(ReferenceThrow):
+        CanolaFilter(strict=True).process(document)
+    CanolaFilter(strict=False).process(document)
+    # cond2: numWords > 19 -> content for the long blocks
+    assert [b.is_content for b in document.text_blocks][0] is True
+    assert [b.is_content for b in document.text_blocks][2] is True
