@@ -75,3 +75,18 @@ def test_staged_plan_has_single_exchange(spark, t1_df):
 def test_production_plan_has_no_exchange(spark, t1_df):
     plan = extract(t1_df, "ArticleExtractor")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_unfiltered_paths_agree(spark, t1_df):
+    """Unfiltered has no golden file (no content spans by construction);
+    assert the production and staged paths agree with each other and
+    emit only media spans."""
+    a = {r.doc_id: r for r in extract(t1_df, "Unfiltered").collect()}
+    b = {r.doc_id: r for r in extract_staged(t1_df, "Unfiltered").collect()}
+    assert set(a) == set(b)
+    for doc_id, ra in a.items():
+        rb = b[doc_id]
+        sa = [(s.kind, s.text, s.media_ref, s.order) for s in (ra.spans or [])]
+        sb = [(s.kind, s.text, s.media_ref, s.order) for s in (rb.spans or [])]
+        assert (ra.title, sa, ra.error) == (rb.title, sb, rb.error), doc_id
+        assert all(k != "text" for k, _, _, _ in sa)
