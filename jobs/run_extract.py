@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--extractor", default="ArticleExtractor")
     ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args()
+    if not args.synth and not args.input:
+        ap.error("one of --input or --synth is required")
+    known = ("ArticleExtractor", "DefaultExtractor", "LargestContentExtractor",
+             "KeepEverythingExtractor", "CanolaExtractor", "Unfiltered")
+    if args.extractor not in known:
+        print(f"warning: unknown extractor {args.extractor!r}; the "
+              "reference semantics fall back to DefaultExtractor")
 
     spark = (
         SparkSession.builder.appName("bpc-extract")
