@@ -106,3 +106,39 @@ def run_partitioned(
         "docs_out": total_out,
         "errors": total_err,
     }
+
+
+def extract_balanced(
+    df: DataFrame,
+    extractor: str = "ArticleExtractor",
+    giant_chars: int = 200_000,
+) -> DataFrame:
+    """Skew-aware extraction: giant documents (HTML length above
+    ``giant_chars``) are routed to their own round-robin-repartitioned
+    pass so each lands on its own task, while the normal population
+    flows through the zero-shuffle path untouched.
+
+    The production map has no shuffle, so "skew" means a straggler task
+    that happened to pack several giant docs; spreading only the giant
+    subset costs a shuffle of that (tiny) subset, never of the corpus.
+    The per-doc work stays bounded either way -- this bounds the
+    per-TASK work.  (SURVEY.md section 4 'shuffle/skew from giant
+    documents'.)
+    """
+    from .arrow_extract import extract_arrow
+
+    size_expr = F.aggregate(
+        F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
+        F.lit(0),
+        lambda acc, s: acc + F.coalesce(F.length(s.text), F.lit(0)),
+    )
+    sized = df.withColumn("_html_chars", size_expr)
+    normal = sized.filter(F.col("_html_chars") <= giant_chars).drop("_html_chars")
+    giant = (
+        sized.filter(F.col("_html_chars") > giant_chars)
+        .drop("_html_chars")
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+    return extract_arrow(normal, extractor).unionByName(
+        extract_arrow(giant, extractor)
+    )

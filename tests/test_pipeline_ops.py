@@ -133,3 +133,29 @@ def test_multimodal_decode(spark, t1_df):
     # deterministic across runs
     again = decode_features(media).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_extract_balanced_matches_plain_extract(spark):
+    from boilerpipe_coffee_spark.operators.pipeline import extract_balanced
+
+    docs = synth_interleaved(spark, 120, seed=11, giant_max=400, partitions=4)
+    plain = {r.doc_id: r for r in extract(docs, "ArticleExtractor").collect()}
+    routed = {
+        r.doc_id: r
+        for r in extract_balanced(docs, "ArticleExtractor", giant_chars=20_000).collect()
+    }
+    assert set(plain) == set(routed)
+    for doc_id, a in plain.items():
+        b = routed[doc_id]
+        sa = [(s.kind, s.text, s.media_ref, s.order) for s in (a.spans or [])]
+        sb = [(s.kind, s.text, s.media_ref, s.order) for s in (b.spans or [])]
+        assert (a.title, sa, a.error) == (b.title, sb, b.error), doc_id
+
+
+def test_canola_extractor_quarantines_every_doc(spark):
+    """CanolaExtractor crashes in the reference (quirk Q10); the
+    pipeline must quarantine every document rather than fail."""
+    docs = synth_interleaved(spark, 30, seed=3, partitions=2)
+    rows = extract(docs, "CanolaExtractor").collect()
+    assert len(rows) == 30
+    assert all(r.error == "reference_throw" and not r.spans for r in rows)
