@@ -90,3 +90,17 @@ def test_unfiltered_paths_agree(spark, t1_df):
         sb = [(s.kind, s.text, s.media_ref, s.order) for s in (rb.spans or [])]
         assert (ra.title, sa, ra.error) == (rb.title, sb, rb.error), doc_id
         assert all(k != "text" for k, _, _, _ in sa)
+
+
+@pytest.mark.parametrize(
+    "extractor",
+    ["DefaultExtractor", "LargestContentExtractor", "KeepEverythingExtractor"],
+)
+def test_staged_plan_single_exchange_all_chains(spark, t1_df, extractor):
+    plan = (
+        extract_staged(t1_df, extractor)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
