@@ -155,7 +155,11 @@ def _extraction_queries() -> dict[str, Callable]:
             .orderBy("doc_id")
         )
 
+    def unfiltered(spark, sf_dir):
+        return _flagship(spark, "Unfiltered")
+
     return {
+        "extract_unfiltered_spans": unfiltered,
         "extract_article_spans": article,
         "extract_default_spans": default,
         "extract_largest_spans": largest,

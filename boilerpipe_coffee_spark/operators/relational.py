@@ -441,8 +441,67 @@ ORDER BY doc_id, sentence_idx
 """
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight filter + single agg -- the predicate
+    pushdown showcase (filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def events_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets family, SURVEY 2.7 breadth):
+    event counts and value sums by (event_type, day) with subtotals."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "events_rollup": events_rollup,
     "q3_shipping_priority": q3_shipping_priority,
     "numwords_rules_classify": numwords_rules_classify,
     "running_sum_cutoff": running_sum_cutoff,
@@ -456,6 +515,8 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
     "q3_shipping_priority": Q3_SQL,
     "numwords_rules_classify": NUMWORDS_RULES_SQL,
     "running_sum_cutoff": RUNNING_SUM_CUTOFF_SQL,
