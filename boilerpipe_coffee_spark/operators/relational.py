@@ -204,8 +204,8 @@ WITH base AS (
   FROM documents
 ), cum AS (
   SELECT *,
-    sum(num_words) OVER (PARTITION BY source ORDER BY doc_id
-                         ROWS UNBOUNDED PRECEDING) AS cum_words
+    (sum(num_words) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_words
   FROM base
 )
 SELECT doc_id, source, num_words, cum_words,
@@ -288,8 +288,8 @@ WITH g AS (
               THEN 1 ELSE 0 END AS new_seg
   FROM events
 ), s AS (
-  SELECT *, sum(new_seg) OVER (PARTITION BY user_id ORDER BY e, event_id
-                               ROWS UNBOUNDED PRECEDING) AS seg_id
+  SELECT *, (sum(new_seg) OVER (PARTITION BY user_id ORDER BY e, event_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS seg_id
   FROM g
 )
 SELECT user_id, seg_id, count(*) AS n_events,
@@ -339,12 +339,12 @@ WITH b AS (
                    OR lag(bucket) OVER w <> bucket THEN 1 ELSE 0 END AS changed
   FROM b WINDOW w AS (PARTITION BY source ORDER BY doc_id)
 ), s AS (
-  SELECT *, sum(changed) OVER (PARTITION BY source ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) AS seg_id
+  SELECT *, (sum(changed) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING))::BIGINT AS seg_id
   FROM c
 )
 SELECT source, seg_id, count(*) AS n_docs, min(doc_id) AS first_doc,
-       max(doc_id) AS last_doc, sum(n_chars) AS sum_chars
+       max(doc_id) AS last_doc, sum(n_chars)::BIGINT AS sum_chars
 FROM s GROUP BY source, seg_id ORDER BY source, seg_id
 """
 
