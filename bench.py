@@ -104,6 +104,8 @@ def run_bench() -> dict:
     _, t = _timed(lambda: extract(docs, "DefaultExtractor").count())
     queries["extract_default"] = round(t, 3)
 
+    # warm once like the production path (python worker code paths, JIT)
+    _timed(lambda: extract_staged(docs, "ArticleExtractor").count())
     _, t = _timed(lambda: extract_staged(docs, "ArticleExtractor").count())
     queries["extract_article_staged"] = round(t, 3)
 

@@ -96,8 +96,13 @@ def extract_arrow(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             spans_col = batch.column("spans")
-            lengths = spans_col.value_lengths().to_pylist()
-            values = spans_col.flatten()
+            # pair the list offsets with the UNFLATTENED child array:
+            # value_lengths() maps null slots to 0 but flatten() drops
+            # their backing ranges, which would desynchronize every
+            # later document if a null slot ever carried values
+            in_offsets = spans_col.offsets.to_pylist()
+            valid = spans_col.is_valid().to_pylist()
+            values = spans_col.values
             kinds = values.field("kind").to_pylist()
             texts = values.field("text").to_pylist()
             refs = values.field("media_ref").to_pylist()
@@ -106,13 +111,13 @@ def extract_arrow(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
             titles, errors = [], []
             flat_k, flat_t, flat_r, flat_o = [], [], [], []
             list_offsets = [0]
-            lo = 0
-            for length in lengths:
-                hi = lo + (length or 0)
+            for i in range(len(doc_ids)):
+                lo, hi = (
+                    (in_offsets[i], in_offsets[i + 1]) if valid[i] else (0, 0)
+                )
                 title, ok, ot, orf, err = _extract_one(
                     kinds, texts, refs, offs, lo, hi, extractor
                 )
-                lo = hi
                 titles.append(title)
                 errors.append(err)
                 flat_k.extend(ok)

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -119,8 +120,41 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
+# Arrow mirror of BLOCKS_SCHEMA (IntegerType -> int32, Double -> f64)
+_PA_BLOCKS = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("is_media", pa.bool_()),
+        pa.field("block_offset", pa.int32()),
+        pa.field("span_offset", pa.int32()),
+        pa.field("text", pa.string()),
+        pa.field("tag_level", pa.int32()),
+        pa.field("num_words", pa.int32()),
+        pa.field("num_words_anchor", pa.int32()),
+        pa.field("num_words_wrapped", pa.int32()),
+        pa.field("num_wrapped_lines", pa.int32()),
+        pa.field("text_density", pa.float64()),
+        pa.field("link_density", pa.float64()),
+        pa.field("kind", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("media_offset", pa.int32()),
+        pa.field("error", pa.string()),
+        pa.field("is_content", pa.bool_()),
+        pa.field("end_of_text", pa.bool_()),
+    ]
+)
+
+
 def parse_blocks(df: DataFrame) -> DataFrame:
-    """mapInPandas parse/featurize: (doc_id, spans) -> block+media rows.
+    """mapInArrow parse/featurize: (doc_id, spans) -> block+media rows.
+
+    Reads the spans list<struct> column as flat child arrays paired
+    with the list offsets (never ``value_lengths``+``flatten``, which
+    desynchronizes on null slots with non-empty backing ranges) and
+    emits the block table columnar -- one list per column, extended per
+    document -- so the only per-block Python is feature extraction
+    itself, not bridge bookkeeping.
 
     Parse errors (reference throw points reached during parsing, e.g.
     nested <a>) emit a single error row so quarantining survives the
@@ -130,77 +164,133 @@ def parse_blocks(df: DataFrame) -> DataFrame:
 
     from ..core.jsquirks import ReferenceThrow
     from ..core.parser import BoilerpipeParser
-    from ..spans import html_from_spans
 
-    names = [f.name for f in BLOCKS_SCHEMA.fields]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         parser = BoilerpipeParser()
-        for pdf in batches:
-            cols = {name: [] for name in names}
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans_col = batch.column("spans")
+            offsets = spans_col.offsets.to_pylist()
+            valid = spans_col.is_valid().to_pylist()
+            values = spans_col.values
+            kinds = values.field("kind").to_pylist()
+            texts = values.field("text").to_pylist()
+            refs = values.field("media_ref").to_pylist()
+            offs = values.field("offset").to_pylist()
 
-            def emit(doc_id, title, is_media, block_offset, span_offset,
-                     text, tag_level, num_words, num_words_anchor,
-                     num_words_wrapped, num_wrapped_lines, text_density,
-                     link_density, kind, media_ref, media_offset, error,
-                     is_content, end_of_text):
-                cols["doc_id"].append(doc_id)
-                cols["title"].append(title)
-                cols["is_media"].append(is_media)
-                cols["block_offset"].append(block_offset)
-                cols["span_offset"].append(span_offset)
-                cols["text"].append(text)
-                cols["tag_level"].append(tag_level)
-                cols["num_words"].append(num_words)
-                cols["num_words_anchor"].append(num_words_anchor)
-                cols["num_words_wrapped"].append(num_words_wrapped)
-                cols["num_wrapped_lines"].append(num_wrapped_lines)
-                cols["text_density"].append(text_density)
-                cols["link_density"].append(link_density)
-                cols["kind"].append(kind)
-                cols["media_ref"].append(media_ref)
-                cols["media_offset"].append(media_offset)
-                cols["error"].append(error)
-                cols["is_content"].append(is_content)
-                cols["end_of_text"].append(end_of_text)
+            c = {f.name: [] for f in _PA_BLOCKS}
 
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                spans = _as_dicts(spans)
-                html, starts, span_offsets = html_from_spans(spans)
+            for i, doc_id in enumerate(doc_ids):
+                lo, hi = (offsets[i], offsets[i + 1]) if valid[i] else (0, 0)
+                t_idx = sorted(
+                    (j for j in range(lo, hi) if kinds[j] == "text"),
+                    key=lambda j: offs[j],
+                )
+                m_idx = [j for j in range(lo, hi) if kinds[j] != "text"]
+                starts, span_offsets, parts = [], [], []
+                at = 0
+                for j in t_idx:
+                    t = texts[j] or ""
+                    starts.append(at)
+                    span_offsets.append(offs[j])
+                    parts.append(t)
+                    at += len(t)
                 try:
-                    doc = parser.parse_document_from_html(html)
+                    doc = parser.parse_document_from_html("".join(parts))
                 except ReferenceThrow:
-                    emit(doc_id, "", False, None, None, None, None, None,
-                         None, None, None, None, None, None, None, None,
-                         "reference_throw", None, None)
+                    c["doc_id"].append(doc_id)
+                    c["title"].append("")
+                    c["is_media"].append(False)
+                    for k in ("block_offset", "span_offset", "text",
+                              "tag_level", "num_words", "num_words_anchor",
+                              "num_words_wrapped", "num_wrapped_lines",
+                              "text_density", "link_density", "kind",
+                              "media_ref", "media_offset"):
+                        c[k].append(None)
+                    c["error"].append("reference_throw")
+                    c["is_content"].append(None)
+                    c["end_of_text"].append(None)
                     continue
-                for tb in doc.text_blocks:
-                    if tb.src_pos >= 0 and starts:
-                        so = span_offsets[bisect_right(starts, tb.src_pos) - 1]
-                    else:
-                        so = span_offsets[0] if span_offsets else 0
-                    emit(doc_id, doc.title, False, tb.offset_start, so,
-                         tb.text, tb.tag_level, tb.num_words,
-                         int(tb.num_words_in_anchor_text),
-                         int(tb.num_words_in_wrapped_lines),
-                         int(tb.num_wrapped_lines), float(tb.text_density),
-                         float(tb.link_density), "text", None, None, None,
-                         False, False)
-                has_media = False
-                for s in spans:
-                    if s["kind"] != "text":
-                        has_media = True
-                        emit(doc_id, doc.title, True, None, None, None,
-                             None, None, None, None, None, None, None,
-                             s["kind"], s["media_ref"], s["offset"], None,
-                             None, None)
-                if not doc.text_blocks and not has_media:
-                    emit(doc_id, doc.title, False, None, None, None, None,
-                         None, None, None, None, None, None, "empty", None,
-                         None, None, None, None)
-            yield pd.DataFrame(cols, columns=names)
 
-    return df.mapInPandas(run, schema=BLOCKS_SCHEMA)
+                tbs = doc.text_blocks
+                n = len(tbs)
+                title = doc.title
+                if n:
+                    sos = []
+                    for tb in tbs:
+                        if tb.src_pos >= 0 and starts:
+                            sos.append(
+                                span_offsets[bisect_right(starts, tb.src_pos) - 1]
+                            )
+                        else:
+                            sos.append(span_offsets[0] if span_offsets else 0)
+                    c["doc_id"].extend([doc_id] * n)
+                    c["title"].extend([title] * n)
+                    c["is_media"].extend([False] * n)
+                    c["block_offset"].extend(tb.offset_start for tb in tbs)
+                    c["span_offset"].extend(sos)
+                    c["text"].extend(tb.text for tb in tbs)
+                    c["tag_level"].extend(tb.tag_level for tb in tbs)
+                    c["num_words"].extend(tb.num_words for tb in tbs)
+                    c["num_words_anchor"].extend(
+                        int(tb.num_words_in_anchor_text) for tb in tbs
+                    )
+                    c["num_words_wrapped"].extend(
+                        int(tb.num_words_in_wrapped_lines) for tb in tbs
+                    )
+                    c["num_wrapped_lines"].extend(
+                        int(tb.num_wrapped_lines) for tb in tbs
+                    )
+                    c["text_density"].extend(
+                        float(tb.text_density) for tb in tbs
+                    )
+                    c["link_density"].extend(
+                        float(tb.link_density) for tb in tbs
+                    )
+                    c["kind"].extend(["text"] * n)
+                    c["media_ref"].extend([None] * n)
+                    c["media_offset"].extend([None] * n)
+                    c["error"].extend([None] * n)
+                    c["is_content"].extend([False] * n)
+                    c["end_of_text"].extend([False] * n)
+                m = len(m_idx)
+                if m:
+                    c["doc_id"].extend([doc_id] * m)
+                    c["title"].extend([title] * m)
+                    c["is_media"].extend([True] * m)
+                    for k in ("block_offset", "span_offset", "text",
+                              "tag_level", "num_words", "num_words_anchor",
+                              "num_words_wrapped", "num_wrapped_lines",
+                              "text_density", "link_density"):
+                        c[k].extend([None] * m)
+                    c["kind"].extend(kinds[j] for j in m_idx)
+                    c["media_ref"].extend(refs[j] for j in m_idx)
+                    c["media_offset"].extend(offs[j] for j in m_idx)
+                    c["error"].extend([None] * m)
+                    c["is_content"].extend([None] * m)
+                    c["end_of_text"].extend([None] * m)
+                if not n and not m:
+                    c["doc_id"].append(doc_id)
+                    c["title"].append(title)
+                    c["is_media"].append(False)
+                    for k in ("block_offset", "span_offset", "text",
+                              "tag_level", "num_words", "num_words_anchor",
+                              "num_words_wrapped", "num_wrapped_lines",
+                              "text_density", "link_density"):
+                        c[k].append(None)
+                    c["kind"].append("empty")
+                    c["media_ref"].append(None)
+                    c["media_offset"].append(None)
+                    c["error"].append(None)
+                    c["is_content"].append(None)
+                    c["end_of_text"].append(None)
+
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c[f.name], f.type) for f in _PA_BLOCKS],
+                schema=_PA_BLOCKS,
+            )
+
+    return df.mapInArrow(run, schema=BLOCKS_SCHEMA)
 
 
 
