@@ -5,15 +5,16 @@ viable -- the run must be resumable from the last committed unit with
 per-partition lineage + metrics.  Strategy (SURVEY.md section 4):
 
 - documents are routed to ``pmod(xxhash64(doc_id), n_buckets)`` work
-  buckets.  On Iceberg the input table is bucketed by doc_id, so the
-  per-bucket filter prunes files instead of rescanning; on the parquet
-  fallback it is a predicate-pushdown scan.
-- each bucket commits atomically: output append + one metrics row
-  ``(partition_id, docs_in, docs_out, spans_out, errors, wall_ms,
-  extractor)``.  Iceberg gives snapshot atomicity; the parquet fallback
-  writes the metrics row last (write-ahead output, commit-marker
-  metrics) so a crash mid-bucket re-runs that bucket idempotently
-  (output is re-written per-bucket subdirectory, not blind-appended).
+  buckets; all pending buckets run in ONE scan of the input (the hash
+  predicate cannot push down, so per-bucket scans would multiply reads
+  by n_buckets) and land via dynamic partition overwrite, one
+  ``bucket=N`` directory each.
+- commit unit is still the bucket: one metrics row ``(partition_id,
+  docs_in, docs_out, spans_out, errors, wall_ms, extractor)`` per
+  bucket, written only AFTER its data is fully on disk (write-ahead
+  output, commit-marker metrics), one file per bucket.  A crash before
+  the metrics append leaves the pending buckets uncommitted and the
+  re-run rewrites exactly their directories.
 - resume = anti-join of bucket ids against the metrics table.
 """
 
@@ -43,65 +44,109 @@ def run_partitioned(
     extractor: str = "ArticleExtractor",
     n_buckets: int = 64,
 ) -> dict:
-    """Process ``df`` (doc_id, spans) bucket by bucket with resume.
+    """Process ``df`` (doc_id, spans) with bucket-grained resume.
+
+    All PENDING buckets run in a single extraction pass: the input is
+    scanned once (not once per bucket -- ``pmod(xxhash64)`` cannot push
+    down to a parquet scan, so a per-bucket loop would read a 100 TB
+    table 64 times), written ``partitionBy("bucket")`` with DYNAMIC
+    partition overwrite so only pending buckets' directories are
+    touched, then one metrics row per bucket commits the pass.  Crash
+    anywhere before the metrics append leaves every pending bucket
+    uncommitted and the re-run rewrites exactly those directories --
+    same idempotent write-ahead-output / commit-marker-metrics protocol
+    as before, at O(1) input scans.  (On Iceberg the write is a single
+    snapshot append instead; the metrics protocol is unchanged.)
+
+    Lineage: ``docs_in`` is counted from the INPUT (one column-pruned
+    scan of doc_id), independently of ``docs_out`` from the written
+    output, so input/output divergence is detectable.  ``wall_ms`` is
+    the wall time of the whole committing pass (buckets no longer run
+    serially, so per-bucket wall is not a meaningful quantity).
 
     Returns summary {buckets_run, buckets_skipped, docs_out, errors}.
     """
     data_dir = os.path.join(out_dir, "data")
     metrics_dir = os.path.join(out_dir, "metrics")
     done = _done_buckets(spark, metrics_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    skipped = n_buckets - len(pending)
+    if not pending:
+        return {
+            "buckets_run": 0,
+            "buckets_skipped": skipped,
+            "docs_out": 0,
+            "errors": 0,
+        }
 
-    bucketed = df.withColumn(
-        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    def with_bucket(frame):
+        return frame.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+        )
+
+    t0 = time.time()
+    part = with_bucket(df)
+    if len(pending) < n_buckets:
+        part = part.filter(F.col("bucket").isin(pending))
+
+    # independent input lineage: column-pruned count per pending bucket
+    in_counts = {
+        r["bucket"]: r["docs_in"]
+        for r in part.select("bucket")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("docs_in"))
+        .collect()
+    }
+
+    result = with_bucket(extract(part.drop("bucket"), extractor))
+    (
+        result.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(data_dir)
     )
+    wall_ms = int((time.time() - t0) * 1000)
 
-    ran = skipped = total_out = total_err = 0
-    for b in range(n_buckets):
-        if b in done:
-            skipped += 1
-            continue
-        t0 = time.time()
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        result = extract(part, extractor)
-        # per-bucket subdirectory -> idempotent re-run on crash
-        result.write.mode("overwrite").parquet(
-            os.path.join(data_dir, f"bucket={b}")
+    stats = {
+        r["bucket"]: r
+        for r in spark.read.parquet(data_dir)
+        .filter(F.col("bucket").isin(pending))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs_out"),
+            F.sum(F.size(F.coalesce(F.col("spans"), F.array()))).alias(
+                "spans_out"
+            ),
+            F.sum(
+                F.when(F.col("error").isNotNull(), 1).otherwise(0)
+            ).alias("errors"),
         )
-        stats = (
-            spark.read.parquet(os.path.join(data_dir, f"bucket={b}"))
-            .agg(
-                F.count("*").alias("docs_out"),
-                F.sum(F.size(F.coalesce(F.col("spans"), F.array()))).alias(
-                    "spans_out"
-                ),
-                F.sum(
-                    F.when(F.col("error").isNotNull(), 1).otherwise(0)
-                ).alias("errors"),
-            )
-            .collect()[0]
+        .collect()
+    }
+
+    rows = []
+    total_out = total_err = 0
+    for b in pending:
+        s = stats.get(b)
+        docs_out = int(s["docs_out"]) if s else 0
+        spans_out = int(s["spans_out"] or 0) if s else 0
+        errors = int(s["errors"] or 0) if s else 0
+        rows.append(
+            (b, int(in_counts.get(b, 0)), docs_out, spans_out, errors,
+             wall_ms, extractor)
         )
-        wall_ms = int((time.time() - t0) * 1000)
-        metrics_row = spark.createDataFrame(
-            [
-                (
-                    b,
-                    int(stats.docs_out),
-                    int(stats.docs_out),
-                    int(stats.spans_out or 0),
-                    int(stats.errors or 0),
-                    wall_ms,
-                    extractor,
-                )
-            ],
-            "partition_id int, docs_in long, docs_out long, spans_out long,"
-            " errors long, wall_ms long, extractor string",
-        )
-        metrics_row.write.mode("append").parquet(metrics_dir)
-        ran += 1
-        total_out += int(stats.docs_out)
-        total_err += int(stats.errors or 0)
+        total_out += docs_out
+        total_err += errors
+    # one directory per bucket keeps the commit marker per-bucket
+    # deletable/inspectable even though the pass wrote them together
+    spark.createDataFrame(
+        rows,
+        "partition_id int, docs_in long, docs_out long, spans_out long,"
+        " errors long, wall_ms long, extractor string",
+    ).write.mode("append").partitionBy("partition_id").parquet(metrics_dir)
+
     return {
-        "buckets_run": ran,
+        "buckets_run": len(pending),
         "buckets_skipped": skipped,
         "docs_out": total_out,
         "errors": total_err,

@@ -30,15 +30,47 @@ def test_run_partitioned_resume(spark, tmp_path_factory):
     s1 = run_partitioned(spark, docs, out_dir, n_buckets=4)
     assert s1["buckets_run"] == 4 and s1["buckets_skipped"] == 0
     assert s1["docs_out"] == 60
+    # lineage: docs_in counted from the input, equals docs_out per bucket
+    metrics = spark.read.parquet(out_dir + "/metrics").collect()
+    assert sum(m.docs_in for m in metrics) == 60
+    assert all(m.docs_in == m.docs_out for m in metrics)
     # resume: everything committed -> nothing re-runs
     s2 = run_partitioned(spark, docs, out_dir, n_buckets=4)
     assert s2["buckets_run"] == 0 and s2["buckets_skipped"] == 4
-    # drop one bucket's metrics -> only that bucket re-runs
-    shutil.rmtree(out_dir + "/metrics")
+    # drop ONE bucket's commit marker -> exactly that bucket re-runs,
+    # the other buckets' data untouched, no duplicated doc_ids
+    shutil.rmtree(out_dir + "/metrics/partition_id=2")
     s3 = run_partitioned(spark, docs, out_dir, n_buckets=4)
-    assert s3["buckets_run"] == 4
-    total = spark.read.parquet(out_dir + "/data").count()
-    assert total == 60
+    assert s3["buckets_run"] == 1 and s3["buckets_skipped"] == 3
+    data = spark.read.parquet(out_dir + "/data")
+    assert data.count() == 60
+    assert data.select("doc_id").distinct().count() == 60
+    # drop all metrics -> full re-run, still idempotent
+    shutil.rmtree(out_dir + "/metrics")
+    s4 = run_partitioned(spark, docs, out_dir, n_buckets=4)
+    assert s4["buckets_run"] == 4
+    assert spark.read.parquet(out_dir + "/data").count() == 60
+
+
+def test_run_partitioned_scans_input_O1_times(spark, tmp_path_factory):
+    """The hash-bucket predicate cannot push down, so the input must be
+    read a CONSTANT number of times (one lineage count + one extract
+    pass), not once per bucket."""
+    out_dir = str(tmp_path_factory.mktemp("ppl_scan"))
+    n = 40
+    acc = spark.sparkContext.accumulator(0)
+    docs = synth_interleaved(spark, n, seed=9, partitions=4)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = docs.mapInPandas(counting, schema=docs.schema)
+    s = run_partitioned(spark, counted, out_dir, n_buckets=8)
+    assert s["docs_out"] == n
+    # 8 buckets x 2 scans each would be 640; O(1) scans read 2n = 80
+    assert acc.value <= 2 * n, f"input rows processed {acc.value} > {2 * n}"
 
 
 def test_columnar_inverted_and_mark(spark, t1_df):
