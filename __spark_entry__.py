@@ -57,9 +57,14 @@ def _flagship(spark: SparkSession, extractor: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: extract the synthetic interleaved corpus (rows > 0,
-    stable schema).  sf0.001 tables are also touched so the smoke check
-    exercises the driver parquet path."""
-    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    stable schema).  The sf documents table is also touched (when
+    present) so the smoke check exercises the driver parquet path."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs_parquet = Path(sf_dir) / "documents.parquet"
+    if docs_parquet.exists():
+        spark.read.parquet(str(docs_parquet)).count()
     return _flagship(spark, "ArticleExtractor")
 
 

@@ -52,21 +52,13 @@ def _h64(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-_TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-_SHINGLES = (
-    f"CASE WHEN size({_TOKENS}) >= 3 THEN "
-    f"transform(sequence(1, size({_TOKENS}) - 2), "
-    f"i -> concat_ws(' ', slice({_TOKENS}, i, 3))) "
-    "ELSE array() END"
-)
+from ..functions import TOKENS as _TOKENS
+from ..functions import TOKENS_DUCK as _TOKENS_DUCK
+from ..functions import shingles as _mk_shingles
+from ..functions import shingles_duck as _mk_shingles_duck
 
-_TOKENS_DUCK = (
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-)
-_SHINGLES_DUCK = (
-    f"list_transform(range(1, len({_TOKENS_DUCK}) - 1), "
-    f"i -> array_to_string(({_TOKENS_DUCK})[i:i+2], ' '))"
-)
+_SHINGLES = _mk_shingles(3)
+_SHINGLES_DUCK = _mk_shingles_duck(3)
 
 
 # ------------------------------------------------------------------ #
@@ -164,8 +156,40 @@ ORDER BY doc_a, doc_b
 # ------------------------------------------------------------------ #
 
 
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash signatures + banded LSH candidate pairs."""
+def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = 64):
+    """MinHash signatures + banded LSH candidate pairs.
+
+    Skew guard: a band bucket holding B docs emits B^2/2 pairs, so a
+    flood of identical boilerplate (millions of copies of one page)
+    would turn the band join quadratic.  Buckets larger than
+    ``bucket_cap`` are dropped from the candidate join -- membership in
+    a flood bucket means near-exact duplication, which the exact-dedup
+    pass (hash groupBy, linear) already resolves; the LSH pass exists
+    for the long tail of NEAR duplicates.  On a normal corpus no bucket
+    approaches the cap, so the result is identical to the uncapped
+    oracle (the sf0.01 driver check proves it); ``minhash_band_stats``
+    reports dropped buckets for monitoring.
+    """
+    stacked = _minhash_bands(spark, sf_dir)
+    counts = stacked.groupBy("band_key").agg(F.count("*").alias("bucket_n"))
+    capped = stacked.join(
+        counts.filter(F.col("bucket_n") <= bucket_cap), "band_key"
+    ).select("doc_id", "band_key")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_bands(spark, sf_dir):
+    """(doc_id, band_key) rows: 8 minhash signatures in 4 bands of 2."""
     # stage the token/shingle arrays through selects so Catalyst
     # computes each once instead of re-evaluating the nested expr
     docs = (
@@ -198,26 +222,35 @@ def dedup_minhash_lsh(spark, sf_dir):
             for j in range(N_BANDS)
         ],
     )
-    stacked = bands.select(
+    return bands.select(
         "doc_id",
         F.explode(F.array(*[F.col(f"band{j}") for j in range(N_BANDS)])).alias(
             "band_key"
         ),
     )
-    a = stacked.alias("a")
-    b = stacked.alias("b")
-    return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-        .orderBy("doc_a", "doc_b")
+
+
+def minhash_band_stats(spark, sf_dir, bucket_cap: int = 64):
+    """Monitoring companion to the skew guard: bucket-size histogram
+    plus how many buckets/docs the cap would drop."""
+    counts = _minhash_bands(spark, sf_dir).groupBy("band_key").agg(
+        F.count("*").alias("bucket_n")
+    )
+    return counts.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_n").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_n") > bucket_cap, 1).otherwise(0)).alias(
+            "buckets_dropped"
+        ),
+        F.sum(
+            F.when(F.col("bucket_n") > bucket_cap, F.col("bucket_n")).otherwise(0)
+        ).alias("docs_in_dropped"),
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """CTE list ending in ``lsh_pairs(doc_a, doc_b)`` -- shared by the
+    candidate-pair oracle and the cluster-resolution oracle."""
     mh_exprs = ",\n         ".join(
         f"min(({a} * h + {b}) % {_P}) AS mh{i}"
         for i, (a, b) in enumerate(_MINHASH_AB)
@@ -229,8 +262,7 @@ def _minhash_sql() -> str:
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, band{j} AS band_key FROM bands" for j in range(N_BANDS)
     )
-    return f"""
-WITH ex AS (
+    return f"""ex AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS sh
   FROM documents WHERE len({_TOKENS_DUCK}) >= 3
 ), hs AS (
@@ -244,15 +276,17 @@ WITH ex AS (
   SELECT doc_id, {band_exprs} FROM sig
 ), stacked AS (
   {band_union}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM stacked a JOIN stacked b
-  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+), lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM stacked a JOIN stacked b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_minhash_pairs_ctes()}
+SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
 """
-
-
-DEDUP_MINHASH_SQL = _minhash_sql()
 
 
 # ------------------------------------------------------------------ #
@@ -309,11 +343,179 @@ FROM sums ORDER BY doc_id
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+# ------------------------------------------------------------------ #
+# SimHash candidate pairs: chunk-bucketed Hamming join                 #
+# ------------------------------------------------------------------ #
+
+
+def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
+    """Near-dup candidate pairs from the 32-bit SimHash WITHOUT an
+    all-pairs scan: split the signature into 4 byte chunks -- by
+    pigeonhole, any pair within Hamming distance <= 3 agrees on at
+    least one whole chunk -- join on (chunk_idx, chunk_value), then
+    verify exact Hamming distance columnar with bit_count(a XOR b).
+    The join shuffles on uniform 8-bit chunk keys, linear in corpus
+    size; no N^2 pair enumeration anywhere."""
+    sig = dedup_simhash(spark, sf_dir)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("simhash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    base = _simhash_sql()
+    # reuse the signature CTEs; strip the final SELECT/ORDER BY
+    ctes = base[: base.rindex("SELECT doc_id,")].rstrip()
+    return f"""{ctes}, sig AS (
+  SELECT doc_id, ({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash
+  FROM sums
+), chunks AS (
+  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (8 * i)) & 255 AS chunk_val
+  FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
+# ------------------------------------------------------------------ #
+# duplicate-cluster resolution: candidate pairs -> connected           #
+# components -> canonical keep-set                                     #
+# ------------------------------------------------------------------ #
+
+
+def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    """(doc_id, cluster_id, keep) for every document: connected
+    components over the MinHash-LSH candidate pairs, cluster_id = the
+    lexicographic min doc_id of the component, keep = is-canonical.
+    Singletons keep themselves.
+
+    Algorithm: iterative min-label propagation over the (tiny relative
+    to the corpus) edge set -- each round joins labels to edges, takes
+    the min over neighbors, and stops when no label changed.  Rounds =
+    graph diameter; duplicate clusters are shallow (near-clique), so
+    this converges in 2-3 rounds in practice.  ``localCheckpoint``
+    truncates the growing plan per round.  At 10^12 docs the same loop
+    runs on the pairs table only (never the corpus); alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce") is the drop-in upgrade if diameters grow."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.dst, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+reach (doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc_id
+)
+SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS keep
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -321,4 +523,6 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

@@ -498,8 +498,203 @@ ORDER BY event_type, day
 """
 
 
+# ------------------------------------------------------------------ #
+# relational breadth: multi-way join, semi/anti, set ops, cube        #
+# ------------------------------------------------------------------ #
+
+
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join chain region -> nation ->
+    (customer x supplier) -> orders -> lineitem, revenue per nation for
+    intra-nation commerce.  Join strategy for 100 TB: lineitem/orders/
+    customer shuffle on their keys (all big at scale), nation and the
+    filtered region BROADCAST (25 / 1 rows at any SF) -- asserted in
+    tests/test_plans.py."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def customers_without_big_urgent_orders(spark, sf_dir):
+    """ANTI join: customers with no urgent high-value order, rolled up
+    per market segment.  The anti join shuffles both sides on the key
+    (no broadcast -- both sides are corpus-sized at scale) and is the
+    relational 'quarantine the unmatched' primitive."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def parts_shipped_early_semi(spark, sf_dir):
+    """SEMI join: parts with at least one early shipment, per brand.
+    left_semi keeps the probe side narrow (no payload columns from
+    lineitem cross the shuffle)."""
+    part = _t(spark, sf_dir, "part")
+    early = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-09-01")
+    )
+    return (
+        part.join(early, part.p_partkey == early.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part p
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey
+    AND l.l_shipdate < TIMESTAMP '1995-09-01'
+)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def brand_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT over brand sets: large-size brands that were
+    ordered early vs never.  Set ops dedupe via a hash aggregate on the
+    full row -- same shuffle shape as groupBy, no row explosion."""
+    part = _t(spark, sf_dir, "part")
+    early = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-03-01")
+    )
+    large = part.filter(F.col("p_size") > 40).select("p_brand")
+    ordered = part.join(
+        early, part.p_partkey == early.l_partkey, "left_semi"
+    ).select("p_brand")
+    both = large.intersect(ordered).select(
+        F.lit("large_and_early").alias("tag"), "p_brand"
+    )
+    only = large.subtract(ordered).select(
+        F.lit("large_never_early").alias("tag"), "p_brand"
+    )
+    return both.unionByName(only).orderBy("tag", "p_brand")
+
+
+SET_OPS_SQL = """
+WITH large AS (
+  SELECT p_brand FROM part WHERE p_size > 40
+), ordered AS (
+  SELECT p_brand FROM part p
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey
+      AND l.l_shipdate < TIMESTAMP '1995-03-01')
+)
+SELECT 'large_and_early' AS tag, p_brand
+FROM (SELECT p_brand FROM large INTERSECT SELECT p_brand FROM ordered)
+UNION ALL
+SELECT 'large_never_early' AS tag, p_brand
+FROM (SELECT p_brand FROM large EXCEPT SELECT p_brand FROM ordered)
+ORDER BY tag, p_brand
+"""
+
+
+def orders_cube(spark, sf_dir):
+    """CUBE over (status, priority): all four grouping sets in one
+    pass -- Spark expands to a single expand+aggregate, no re-scan per
+    grouping set."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+ORDERS_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "customers_without_big_urgent_orders": customers_without_big_urgent_orders,
+    "parts_shipped_early_semi": parts_shipped_early_semi,
+    "brand_set_ops": brand_set_ops,
+    "orders_cube": orders_cube,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_rollup": events_rollup,
     "q3_shipping_priority": q3_shipping_priority,
@@ -515,6 +710,11 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "customers_without_big_urgent_orders": ANTI_JOIN_SQL,
+    "parts_shipped_early_semi": SEMI_JOIN_SQL,
+    "brand_set_ops": SET_OPS_SQL,
+    "orders_cube": ORDERS_CUBE_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -15,10 +15,8 @@ STOPWORDS = {
     "fr": ["le", "la", "les", "et", "est", "pas", "avec", "un", "une", "je"],
 }
 
-_TOKENS = "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
-_TOKENS_DUCK = (
-    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-)
+from ..functions import TOKENS as _TOKENS
+from ..functions import TOKENS_DUCK as _TOKENS_DUCK
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -85,12 +85,16 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
     fallback: plain append."""
     spark = df.sparkSession
     if iceberg_available(spark) and "/" not in target:
-        try:
+        # branch on explicit existence -- an append failure (schema
+        # mismatch, permissions) must propagate, not be masked by a
+        # create-on-existing-table fallback
+        if spark.catalog.tableExists(target):
             df.writeTo(target).append()
-            return
-        except Exception:
-            df.writeTo(target).partitionedBy(F.bucket(256, F.col("doc_id"))).create()
-            return
+        else:
+            df.writeTo(target).partitionedBy(
+                F.bucket(256, F.col("doc_id"))
+            ).create()
+        return
     df.write.mode(mode).parquet(target)
 
 

@@ -1,0 +1,89 @@
+"""Skew-guard and cluster-resolution behavior that the DuckDB oracle
+comparison cannot cover: adversarial flood corpora."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from boilerpipe_coffee_spark.operators.dedup import (
+    dedup_clusters,
+    dedup_minhash_lsh,
+    minhash_band_stats,
+)
+
+FLOOD_TEXT = (
+    "the quick brown fox jumps over the lazy dog and keeps on running "
+    "through the quiet field while the morning sun climbs higher "
+) * 3
+
+
+def _write_documents(tmp_path, rows):
+    """rows: list of (doc_id:int, text:str)."""
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["flood"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+@pytest.fixture(scope="module")
+def flood_dir(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("flood")
+    rows = [(i, FLOOD_TEXT) for i in range(1000)]
+    # two NEAR duplicates (one word changed) outside the flood: their
+    # band buckets have size 2, well under the cap, so the pair survives
+    near_a = FLOOD_TEXT.replace("morning", "evening") + " unique tail one"
+    near_b = FLOOD_TEXT.replace("morning", "evening") + " unique tail two"
+    rows += [(5001, near_a), (5002, near_b)]
+    return _write_documents(tmp, rows)
+
+
+def test_band_cap_bounds_identical_doc_flood(spark, flood_dir):
+    """1000 identical docs would emit ~499,500 pairs per band without
+    the cap; with it the flood contributes ZERO candidate pairs (it is
+    exact-dup territory) while genuine near-dups still pair up."""
+    pairs = dedup_minhash_lsh(spark, flood_dir).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert all(a == 5001 and b == 5002 for a, b in got), got
+    assert len(got) <= 1  # only the near-dup pair, if bands collide
+    assert (5001, 5002) in got, "near-dup pair must survive the cap"
+
+
+def test_band_stats_report_dropped_flood(spark, flood_dir):
+    s = minhash_band_stats(spark, flood_dir).collect()[0]
+    # the flood bucket may also attract the near-dups on some bands
+    assert s.max_bucket >= 1000
+    assert s.buckets_dropped >= 4  # all 4 bands of the flood doc
+    assert s.docs_in_dropped >= 4000
+
+
+def test_clusters_resolve_chain_and_singletons(spark, tmp_path):
+    """Seeded duplicate chain A~B, B~C (transitive) plus singletons:
+    connected components must give one cluster with min-id canonical."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+    ) * 4
+    rows = [
+        (1, base + "phi chi psi"),
+        (2, base + "phi chi omega"),  # near-dup of 1
+        (3, base + "phi rho omega"),  # near-dup of 2, farther from 1
+        (10, "completely different short text about sailing boats " * 6),
+        (11, "another unrelated document mentioning telescopes and stars " * 6),
+    ]
+    d = _write_documents(tmp_path, rows)
+    labels = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_clusters(spark, d).collect()}
+    assert len(labels) == 5
+    # the chain collapses to cluster 1; exactly one keeper
+    chain = {doc for doc, (cl, _) in labels.items() if cl == 1}
+    assert chain == {1, 2, 3}
+    assert [doc for doc, (cl, k) in labels.items() if cl == 1 and k] == [1]
+    # singletons keep themselves
+    for doc in (10, 11):
+        assert labels[doc] == (doc, True)

@@ -34,6 +34,33 @@ def test_q3_uses_broadcast_joins(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_q5_broadcasts_nation_and_region(spark):
+    from boilerpipe_coffee_spark.operators.relational import (
+        q5_local_supplier_volume,
+    )
+
+    plan = _plan(q5_local_supplier_volume(spark, SF))
+    # nation + region arrive via broadcast exchanges, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    for tiny in ("nation", "region"):
+        scan = [seg for seg in plan.split("FileScan parquet") if tiny in seg]
+        assert scan, f"{tiny} scan missing"
+
+
+def test_semi_anti_plans_are_semi_anti(spark):
+    from boilerpipe_coffee_spark.operators.relational import (
+        customers_without_big_urgent_orders,
+        parts_shipped_early_semi,
+    )
+
+    anti = _plan(customers_without_big_urgent_orders(spark, SF))
+    assert "LeftAnti" in anti
+    semi = _plan(parts_shipped_early_semi(spark, SF))
+    assert "LeftSemi" in semi
+    # the filters on the build sides must push to their scans
+    assert "PushedFilters" in semi
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     plan = _plan(cosine_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
