@@ -183,11 +183,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         textstats,
     )
 
+    from boilerpipe_coffee_spark import streaming
+
     out: dict[str, Callable] = {}
     out.update(relational.QUERIES)
     out.update(dedup.QUERIES)
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
+    out.update(streaming.QUERIES)
     out.update(_extraction_queries())
     return out
 
@@ -200,11 +203,14 @@ def oracle_sql() -> dict[str, str]:
         textstats,
     )
 
+    from boilerpipe_coffee_spark import streaming
+
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(dedup.ORACLES)
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
+    out.update(streaming.ORACLES)
     # extract_* and media_decode_features: no SQL oracle (rows-only);
     # their exact-match gate is tests/test_golden.py + test_spark_extract.py
     return out

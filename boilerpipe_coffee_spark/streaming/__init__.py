@@ -1,4 +1,4 @@
-"""Structured Streaming wrapper around the extraction operator.
+"""Structured Streaming operators.
 
 The north rule's pipeline is batch with Iceberg-snapshot resume
 (operators.pipeline), but the same per-document operator composes
@@ -7,11 +7,27 @@ production extract is a stateless mapInArrow over independent rows, so
 it needs no watermarks or state store -- each micro-batch is extracted
 exactly like a batch partition, and checkpointing gives exactly-once
 sink semantics.
+
+Beyond the stateless wrapper this module carries the two stateful
+streaming shapes a continuous ingestion pipeline needs:
+
+- :func:`windowed_event_counts` -- event-time tumbling-window
+  aggregation with a watermark; in append mode only windows whose end
+  the final watermark passed are emitted, which the DuckDB oracle
+  reproduces with ``window_end <= max(ts) - delay``.
+- :func:`dedup_first_seen` -- ``applyInPandasWithState``: per
+  content-hash state (running min doc_id + running count) carried
+  across micro-batches; each batch emits the cumulative row, so the
+  last row per key equals the batch ``dedup_exact`` answer no matter
+  how the stream was chopped into micro-batches.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators import extract
 from ..sources import INTERLEAVED_SCHEMA
@@ -53,3 +69,238 @@ def write_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ------------------------------------------------------------------ #
+# watermarked event-time windows                                      #
+# ------------------------------------------------------------------ #
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_dur: str = "1 hour",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Tumbling event-time windows over a (possibly streaming) events
+    frame.  The watermark bounds state: windows older than
+    ``max(event time) - delay`` are finalized and emitted (append
+    mode), later-arriving data for them is dropped -- the standard
+    late-data contract."""
+    return (
+        # watermarks require TIMESTAMP (instant); the tables store NTZ.
+        # Both casts use the session tz, so wall-clock hourly windows
+        # round-trip unchanged.
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_dur).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ------------------------------------------------------------------ #
+# applyInPandasWithState: cross-micro-batch dedup state               #
+# ------------------------------------------------------------------ #
+
+_DEDUP_OUT_SCHEMA = "content_hash string, min_doc_id bigint, n_cum bigint"
+_DEDUP_STATE_SCHEMA = "min_doc_id bigint, total bigint"
+
+
+def _first_seen_fn(key, pdfs, state: GroupState):
+    """Cumulative (min doc_id, count) per content hash.  The cumulative
+    row emitted per micro-batch is monotone, so the final row per key
+    is independent of how rows were split across batches."""
+    if state.exists:
+        mn, tot = state.get
+    else:
+        mn, tot = None, 0
+    for pdf in pdfs:
+        if len(pdf):
+            b_min = int(pdf["doc_id"].min())
+            mn = b_min if mn is None else min(mn, b_min)
+            tot += len(pdf)
+    state.update((mn, tot))
+    yield pd.DataFrame(
+        {"content_hash": [key[0]], "min_doc_id": [mn], "n_cum": [tot]}
+    )
+
+
+def dedup_first_seen(docs: DataFrame) -> DataFrame:
+    """Stateful streaming dedup over (doc_id:bigint, text) rows: state
+    keyed by md5(text) carries the running min doc_id and running
+    count across micro-batches.  Aggregating the emitted rows with
+    (min(min_doc_id), max(n_cum)) reproduces the batch ``dedup_exact``
+    (content_hash, keep_doc_id, n_docs) exactly."""
+    keyed = docs.select(
+        F.md5("text").alias("content_hash"), "doc_id"
+    ).groupBy("content_hash")
+    return keyed.applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(result: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Run a streaming frame to a parquet sink until the backlog is
+    drained; blocks until finished."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+# ------------------------------------------------------------------ #
+# driver-contract entries: materialize file drops, run the stream,    #
+# return the (deterministic) result frame                              #
+# ------------------------------------------------------------------ #
+
+
+def _work_dirs(kind: str, sf_dir: str):
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/bpc_stream_{kind}_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    return f"{base}/drops", f"{base}/out", f"{base}/ckpt"
+
+
+def streaming_windowed_event_counts(spark, sf_dir, poll_timeout: float = 120.0):
+    """Events table replayed as an (unordered) file stream in several
+    micro-batches; watermarked hourly windows in APPEND mode.
+
+    Event-time discipline makes this deterministic despite the
+    arbitrary replay order: the watermark delay (40 days) exceeds the
+    corpus time span, so no replayed row is ever dropped as late; once
+    the backlog is drained, a single SENTINEL event far past the corpus
+    (the streaming stand-in for 'time passed') advances the watermark
+    beyond every real window's end, flushing them all.  The sentinel's
+    own window stays unflushed and never reaches the sink, so the
+    emitted rows equal the plain hourly aggregate -- the DuckDB oracle.
+    """
+    import time
+
+    drops, out, ckpt = _work_dirs("win", sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows, max_ts = events.agg(
+        F.count("*"), F.max("ts")
+    ).collect()[0]
+    events.repartition(6).write.parquet(drops)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drops)
+    )
+    q = (
+        windowed_event_counts(stream, watermark_delay="40 days")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def _rows_seen():
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    t0 = time.time()
+    while _rows_seen() < n_rows and time.time() - t0 < poll_timeout:
+        time.sleep(0.5)
+    # sentinel: one event 40d + 2h past the corpus -> watermark lands
+    # 2h past max(ts), strictly beyond every real window end
+    import datetime as _dt
+
+    sentinel_ts = max_ts + _dt.timedelta(days=40, hours=2)
+    spark.createDataFrame(
+        [(int(1 << 62), sentinel_ts, int(0), "sentinel", 0.0, None)],
+        schema=events.schema,
+    ).coalesce(1).write.mode("append").parquet(drops)
+    while _rows_seen() < n_rows + 1 and time.time() - t0 < poll_timeout:
+        time.sleep(0.5)
+    # flush happens in the batch after the sentinel's; wait for the
+    # sink row count to stabilize at a nonzero value
+    last, stable = -1, 0
+    while stable < 3 and time.time() - t0 < poll_timeout:
+        time.sleep(0.7)
+        try:
+            now = spark.read.parquet(out).count()
+        except Exception:
+            now = 0
+        stable = stable + 1 if (now == last and now > 0) else 0
+        last = now
+    q.stop()
+    q.awaitTermination()
+    return spark.read.parquet(out).orderBy("window_start", "event_type")
+
+
+STREAMING_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def streaming_dedup_first_seen(spark, sf_dir):
+    """Documents replayed as a one-file-per-trigger stream through the
+    applyInPandasWithState dedup; the cumulative rows are folded to
+    their final value per key, which equals the batch dedup_exact
+    answer independent of micro-batch boundaries."""
+    drops, out, ckpt = _work_dirs("dedup", sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(5).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    run_available_now(dedup_first_seen(stream), out, ckpt)
+    emitted = spark.read.parquet(out)
+    return (
+        emitted.groupBy("content_hash")
+        .agg(
+            F.max("n_cum").alias("n_docs"),
+            F.min("min_doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT md5(text) AS content_hash, count(*) AS n_docs,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+"""
+
+
+QUERIES = {
+    "streaming_windowed_event_counts": streaming_windowed_event_counts,
+    "streaming_dedup_first_seen": streaming_dedup_first_seen,
+}
+
+ORACLES = {
+    "streaming_windowed_event_counts": STREAMING_WINDOWED_SQL,
+    "streaming_dedup_first_seen": STREAMING_DEDUP_SQL,
+}
