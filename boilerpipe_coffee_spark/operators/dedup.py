@@ -170,11 +170,18 @@ def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = 64):
     oracle (the sf0.01 driver check proves it); ``minhash_band_stats``
     reports dropped buckets for monitoring.
     """
+    from pyspark.sql import Window
+
     stacked = _minhash_bands(spark, sf_dir)
-    counts = stacked.groupBy("band_key").agg(F.count("*").alias("bucket_n"))
-    capped = stacked.join(
-        counts.filter(F.col("bucket_n") <= bucket_cap), "band_key"
-    ).select("doc_id", "band_key")
+    # bucket size via a window on band_key: ONE shuffle, and the
+    # resulting hash partitioning is exactly what the band self-join
+    # needs, so the join adds no further exchange
+    bucket_n = F.count("*").over(Window.partitionBy("band_key"))
+    capped = (
+        stacked.withColumn("bucket_n", bucket_n)
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .select("doc_id", "band_key")
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     return (

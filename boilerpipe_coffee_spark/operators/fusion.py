@@ -25,9 +25,8 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..core.document import END_OF_TEXT, TextBlock, TextDocument
 from ..core.filters import (
@@ -85,13 +84,16 @@ _COLS = [
 
 
 def _process_doc(doc_id, rows, tail_factory):
-    """rows: list of tuples in _COLS order, sorted blocks-then-media."""
+    """rows: list of tuples in _COLS order, sorted blocks-then-media.
+
+    Returns (title, [(kind, text, media_ref), ...], error) -- span
+    orders are implicit by position."""
     title = ""
     blocks = []
     media = []
     for r in rows:
         if r[14] is not None:  # error
-            return {"doc_id": doc_id, "title": "", "spans": [], "error": r[14]}
+            return "", [], r[14]
         if not title and r[1]:
             title = r[1]
         if r[2]:  # is_media
@@ -120,7 +122,7 @@ def _process_doc(doc_id, rows, tail_factory):
         for f in tail_factory():
             f.process(doc)
     except ReferenceThrow:
-        return {"doc_id": doc_id, "title": "", "spans": [], "error": REFERENCE_THROW}
+        return "", [], REFERENCE_THROW
 
     keyed = [
         ((tb.src_pos, tb.offset_start), "text", tb.text, None)
@@ -129,22 +131,36 @@ def _process_doc(doc_id, rows, tail_factory):
     ]
     keyed.extend(((off, -1), kind, None, ref) for kind, ref, off in media)
     keyed.sort(key=lambda item: item[0])
-    return {
-        "doc_id": doc_id,
-        "title": title,
-        "spans": [
-            {"kind": k, "text": t, "media_ref": r, "order": i}
-            for i, (_, k, t, r) in enumerate(keyed)
-        ],
-        "error": None,
-    }
+    return title, [(k, t, r) for _, k, t, r in keyed], None
+
+
+_OUT_SPAN = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("order", pa.int32()),
+    ]
+)
+_PA_OUT = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("spans", pa.list_(_OUT_SPAN)),
+        pa.field("error", pa.string()),
+    ]
+)
 
 
 def fuse_and_assemble(blocks: DataFrame, extractor: str,
                       ensure_layout: bool = False) -> DataFrame:
     """blocks must arrive hash-partitioned by doc_id and sorted
     (doc_id, is_media, block_offset) -- the window stages guarantee it;
-    pass ensure_layout=True when no window stage ran."""
+    pass ensure_layout=True when no window stage ran.
+
+    mapInArrow: rows cross the bridge as flat column lists and the
+    output span column is assembled as Arrow list/struct arrays
+    directly -- no pandas frames and no per-span dict objects."""
     tail_factory = _TAILS.get(extractor, _TAILS["DefaultExtractor"])
 
     if ensure_layout:
@@ -154,22 +170,55 @@ def fuse_and_assemble(blocks: DataFrame, extractor: str,
 
     proj = blocks.select(*_COLS)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry_id = None
         carry_rows: list = []
 
         def flush(doc_rows_by_id):
-            recs = [
-                _process_doc(d, rows, tail_factory)
-                for d, rows in doc_rows_by_id
-            ]
-            return pd.DataFrame(recs) if recs else None
+            if not doc_rows_by_id:
+                return None
+            doc_ids, titles, errors = [], [], []
+            flat_k, flat_t, flat_r, flat_o = [], [], [], []
+            offsets = [0]
+            for d, rows in doc_rows_by_id:
+                title, spans, err = _process_doc(d, rows, tail_factory)
+                doc_ids.append(d)
+                titles.append(title)
+                errors.append(err)
+                for k, t, r in spans:
+                    flat_k.append(k)
+                    flat_t.append(t)
+                    flat_r.append(r)
+                flat_o.extend(range(len(spans)))
+                offsets.append(len(flat_k))
+            struct_arr = pa.StructArray.from_arrays(
+                [
+                    pa.array(flat_k, pa.string()),
+                    pa.array(flat_t, pa.string()),
+                    pa.array(flat_r, pa.string()),
+                    pa.array(flat_o, pa.int32()),
+                ],
+                fields=list(_OUT_SPAN),
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), struct_arr
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.string()),
+                    pa.array(titles, pa.string()),
+                    spans_out,
+                    pa.array(errors, pa.string()),
+                ],
+                schema=_PA_OUT,
+            )
 
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            ids = pdf["doc_id"].to_numpy()
-            rows = list(pdf.itertuples(index=False, name=None))
+            cols = [batch.column(name).to_pylist() for name in _COLS]
+            ids = cols[0]
+            rows = list(zip(*cols))
             runs: list = []
             start = 0
             for i in range(1, len(rows)):
@@ -195,4 +244,4 @@ def fuse_and_assemble(blocks: DataFrame, extractor: str,
             if out is not None:
                 yield out
 
-    return proj.mapInPandas(run, schema=OUTPUT_SCHEMA)
+    return proj.mapInArrow(run, schema=OUTPUT_SCHEMA)

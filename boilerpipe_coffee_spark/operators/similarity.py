@@ -279,11 +279,167 @@ SELECT query_id, rank, vec_id, cosine FROM (
 """
 
 
+# ------------------------------------------------------------------ #
+# trained IVF: hash-sampled seeds + one Lloyd iteration               #
+# ------------------------------------------------------------------ #
+
+
+def _assign(emb, cents):
+    """Nearest-centroid assignment (cosine, ties -> lower cell id)."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cell_id",
+        F.round(
+            _dot(F.col("v"), F.col("cv"))
+            / (_norm(F.col("v")) * _norm(F.col("cv"))),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.col("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell_id")
+    )
+
+
+def ann_ivf_trained_topk(spark, sf_dir):
+    """IVF with TRAINED centroids: seeds are a deterministic hash
+    sample of the corpus (the 8 vectors with the smallest md5(vec_id)),
+    refined by one Lloyd iteration (assign -> per-cell mean, rounded to
+    6dp so Spark and DuckDB agree bit-for-bit), then the standard
+    probe-one-cell top-3 search.  This is the sampled-seed + k-means
+    shape a production index build uses -- only the iteration count is
+    truncated; each extra iteration is the same assign+mean pair of
+    stages.  Centroid update shuffles (cell_id, dim) partial sums --
+    O(k * dim) state, independent of corpus size."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    hk = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    # top-8 by hash = TakeOrderedAndProject (per-partition partial
+    # top-k + tiny final merge), NOT a global sort -- scale-safe
+    top = (
+        emb.select(hk.alias("hk"), "vec_id", "v")
+        .orderBy("hk", "vec_id")
+        .limit(N_IVF_CELLS)
+    )
+    w_seed = Window.orderBy("hk", "vec_id")  # 8 rows
+    seeds = top.select(
+        (F.row_number().over(w_seed) - 1).cast("int").alias("cell_id"),
+        F.col("v").alias("cv"),
+    )
+    assigned0 = _assign(emb, seeds)
+    # Lloyd update: per-cell dimension means (rounded for cross-engine
+    # determinism), reassembled in dimension order
+    dims = assigned0.select("cell_id", F.posexplode("v").alias("dim", "x"))
+    means = dims.groupBy("cell_id", "dim").agg(F.avg("x").alias("m"))
+    cents1 = means.groupBy("cell_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: F.round(s.m, 6),
+        ).alias("cv")
+    )
+    assigned1 = _assign(emb, cents1)
+
+    queries = assigned1.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cand = assigned1.join(
+        F.broadcast(queries),
+        (F.col("cell_id") == F.col("qcell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        cand.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_TRAINED_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT (row_number() OVER (
+            ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                     vec_id) - 1)::INT AS cell_id,
+         v AS cv
+  FROM emb
+  QUALIFY row_number() OVER (
+      ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+               vec_id) <= {N_IVF_CELLS}
+), scored0 AS (
+  SELECT e.vec_id, e.v, s.cell_id,
+         round(list_dot_product(e.v, s.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(s.cv, s.cv))), 6) AS sim
+  FROM emb e CROSS JOIN seeds s
+), assigned0 AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM scored0) WHERE rn = 1
+), dims AS (
+  SELECT cell_id, i AS dim, v[i] AS x
+  FROM assigned0, range(1, {DIM + 1}) t(i)
+), means AS (
+  SELECT cell_id, dim, avg(x) AS m FROM dims GROUP BY 1, 2
+), cents1 AS (
+  SELECT cell_id,
+         list_transform(list(m ORDER BY dim), y -> round(y, 6)) AS cv
+  FROM means GROUP BY cell_id
+), scored1 AS (
+  SELECT e.vec_id, e.v, c.cell_id,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS sim
+  FROM emb e CROSS JOIN cents1 c
+), assigned1 AS (
+  SELECT vec_id, v, cell_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell_id) AS rn
+    FROM scored1) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell_id AS qcell
+  FROM assigned1 WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT q.query_id, a.vec_id,
+         round(list_dot_product(a.v, q.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+  FROM assigned1 a JOIN q
+    ON a.cell_id = q.qcell AND a.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
 QUERIES = {
     "embedding_cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLES = {
@@ -291,4 +447,5 @@ ORACLES = {
     "ann_lsh_buckets": ANN_LSH_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_trained_topk": ANN_IVF_TRAINED_SQL,
 }
