@@ -169,6 +169,15 @@ def extract_balanced(
     The per-doc work stays bounded either way -- this bounds the
     per-TASK work.  (SURVEY.md section 4 'shuffle/skew from giant
     documents'.)
+
+    Cost model (deliberate): the two filter branches evaluate the size
+    expression over the input twice = 2x read IO of the two needed
+    columns.  The single-scan alternative is a full-corpus repartition
+    (1x read + 1x shuffle write + 1x shuffle read + network), which is
+    strictly worse for a map-only job; Spark has no multi-output
+    operator that could split one scan without caching the corpus.
+    Default OFF in run_partitioned -- use when the layout is known to
+    cluster giants (measured +49% there, a wash on uniform layouts).
     """
     from .arrow_extract import extract_arrow
 
