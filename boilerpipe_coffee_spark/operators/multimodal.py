@@ -133,3 +133,99 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized_w", IntegerType()),
+        StructField("resized_h", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """Resize plumbing for image payloads: aspect-preserving fit into
+    ``max_px``.  The pixel work is STUBBED (dims from the decode stub,
+    output payload a deterministic fake); schema, filtering, batch
+    shape, and the resize arithmetic are real -- a deployment swaps the
+    two marked lines for PIL."""
+
+    imgs = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                feat = _decode_stub("image", bytes(r.payload))  # STUB: PIL.open
+                w, h = feat["width"], feat["height"]
+                scale = min(max_px / w, max_px / h, 1.0)
+                rw, rh = max(int(w * scale), 1), max(int(h * scale), 1)
+                out = hashlib.md5(
+                    bytes(r.payload) + f"{rw}x{rh}".encode()
+                ).digest()  # STUB: PIL.resize + encode
+                rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "media_ref": r.media_ref,
+                        "width": w,
+                        "height": h,
+                        "resized_w": rw,
+                        "resized_h": rh,
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", IntegerType(), False),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled timestamp (1 -> N inside the Arrow batch).  Frame bytes are
+    STUBBED (md5 of payload+t); duration comes from the decode stub --
+    a deployment swaps those for ffmpeg seek+decode."""
+
+    vids = media.filter(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                feat = _decode_stub("video", bytes(r.payload))  # STUB: ffprobe
+                dur = feat["duration_ms"]
+                for idx, t in enumerate(range(0, dur, every_ms)):
+                    frame = hashlib.md5(
+                        bytes(r.payload) + t.to_bytes(4, "big")
+                    ).digest()  # STUB: ffmpeg -ss t
+                    rows.append(
+                        {
+                            "doc_id": r.doc_id,
+                            "media_ref": r.media_ref,
+                            "frame_idx": idx,
+                            "t_ms": t,
+                            "frame": frame,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return vids.mapInPandas(run, schema=FRAMES_SCHEMA)

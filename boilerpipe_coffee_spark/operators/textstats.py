@@ -210,11 +210,110 @@ FROM s ORDER BY doc_id
 """
 
 
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: the fraction of
+    all word bigrams taken by the single most frequent bigram, and the
+    fraction of word trigrams that occur more than once.  High values
+    flag boilerplate/spam for pretraining filtering.
+
+    Scale shape: computed entirely INSIDE the row with an array fold
+    over the sorted gram list (run-length scan) -- zero shuffle, no
+    corpus-sized exploded gram table.  The DuckDB oracle uses the
+    explode+groupBy formulation, proving the fold equivalent."""
+    from ..functions import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def runstats(grams_expr: str) -> str:
+        # fold over sorted grams tracking (prev, run, max_run,
+        # singleton_runs); finish folds in the final run.
+        return (
+            "aggregate("
+            f"array_sort({grams_expr}), "
+            "named_struct('prev', CAST(NULL AS STRING), 'run', 0, "
+            "             'mx', 0, 'singles', 0, 'total', 0), "
+            "(s, g) -> IF(s.prev IS NOT NULL AND g = s.prev, "
+            "  named_struct('prev', g, 'run', s.run + 1, 'mx', s.mx, "
+            "               'singles', s.singles, 'total', s.total + 1), "
+            "  named_struct('prev', g, 'run', 1, "
+            "               'mx', greatest(s.mx, s.run), "
+            "               'singles', s.singles + IF(s.run = 1, 1, 0), "
+            "               'total', s.total + 1)), "
+            "s -> named_struct('mx', greatest(s.mx, s.run), "
+            "                  'singles', s.singles + IF(s.run = 1, 1, 0), "
+            "                  'total', s.total))"
+        )
+
+    b = runstats(shingles(2, "toks"))
+    t = runstats(shingles(3, "toks"))
+    out = (
+        docs.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select("doc_id", F.expr(b).alias("b"), F.expr(t).alias("t"))
+        .select(
+            "doc_id",
+            F.col("b.total").alias("n_bigrams"),
+            F.round(
+                F.col("b.mx") / F.greatest(F.col("b.total"), F.lit(1)), 4
+            ).alias("top_bigram_frac"),
+            F.col("t.total").alias("n_trigrams"),
+            F.round(
+                (F.col("t.total") - F.col("t.singles"))
+                / F.greatest(F.col("t.total"), F.lit(1)),
+                4,
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def _repetition_sql() -> str:
+    from ..functions import shingles_duck
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         {shingles_duck(2)} AS g2,
+         {shingles_duck(3)} AS g3
+  FROM documents
+), b AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(g2) AS g FROM t)
+), bc AS (
+  SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2
+), bagg AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS total FROM bc GROUP BY doc_id
+), tr AS (
+  SELECT doc_id, g FROM (SELECT doc_id, unnest(g3) AS g FROM t)
+), tc AS (
+  SELECT doc_id, g, count(*) AS c FROM tr GROUP BY 1, 2
+), tagg AS (
+  SELECT doc_id, sum(c) AS total,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(bagg.total, 0)::BIGINT AS n_bigrams,
+       round(coalesce(bagg.mx, 0) / greatest(coalesce(bagg.total, 0), 1), 4)
+         AS top_bigram_frac,
+       coalesce(tagg.total, 0)::BIGINT AS n_trigrams,
+       round((coalesce(tagg.total, 0) - coalesce(tagg.singles, 0))
+             / greatest(coalesce(tagg.total, 0), 1), 4) AS dup_trigram_frac
+FROM documents d
+LEFT JOIN bagg ON d.doc_id = bagg.doc_id
+LEFT JOIN tagg ON d.doc_id = tagg.doc_id
+ORDER BY d.doc_id
+"""
+
+
+REPETITION_SQL = _repetition_sql()
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "repetition_stats": repetition_stats,
 }
 
 ORACLES = {
@@ -222,4 +321,5 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
+    "repetition_stats": REPETITION_SQL,
 }

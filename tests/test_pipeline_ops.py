@@ -167,6 +167,39 @@ def test_multimodal_decode(spark, t1_df):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
+def test_multimodal_resize_and_frame_sample(spark, t1_df):
+    from boilerpipe_coffee_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    out = extract(t1_df, "KeepEverythingExtractor")
+    media = media_payloads(out)
+
+    resized = resize_images(media, max_px=128).collect()
+    assert resized, "t1 corpus contains images"
+    for r in resized:
+        assert max(r.resized_w, r.resized_h) <= 128
+        # aspect preserved within integer truncation
+        ar_in = r.width / r.height
+        assert abs(r.resized_w / r.resized_h - ar_in) / ar_in < 0.1
+        assert len(r.payload) == 16
+    # never upscale
+    assert all(r.resized_w <= r.width and r.resized_h <= r.height
+               for r in resized)
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert frames, "t1 corpus contains videos"
+    by_ref = {}
+    for f in frames:
+        by_ref.setdefault(f.media_ref, []).append(f)
+    for ref, fs in by_ref.items():
+        fs.sort(key=lambda f: f.frame_idx)
+        assert [f.frame_idx for f in fs] == list(range(len(fs)))
+        assert [f.t_ms for f in fs] == [i * 1000 for i in range(len(fs))]
+        assert len({bytes(f.frame) for f in fs}) == len(fs)  # distinct frames
+
+
 def test_extract_balanced_matches_plain_extract(spark):
     from boilerpipe_coffee_spark.operators.pipeline import extract_balanced
 
