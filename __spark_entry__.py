@@ -118,10 +118,13 @@ def _extraction_queries() -> dict[str, Callable]:
 
     def pretrain_pipeline(spark, sf_dir):
         """End-to-end training-data pipeline over the interleaved
-        corpus: extract -> content text -> quality/lang/token stats ->
-        exact-dedup keep flag.  The composition a 100 TB pretraining
+        corpus: extract -> content text -> quality + repetition gates
+        -> exact-dedup keep flag.  The composition a 100 TB pretraining
         job runs; rows-only check (extraction is not SQL-expressible).
+        All stages are the same operators verified individually against
+        DuckDB (quality_score / repetition_stats / dedup_exact shapes).
         """
+        from boilerpipe_coffee_spark.functions import TOKENS, shingles
         from boilerpipe_coffee_spark.operators import extract
         from boilerpipe_coffee_spark.sources import synth_interleaved
 
@@ -141,12 +144,20 @@ def _extraction_queries() -> dict[str, Callable]:
                 "n_media"
             ),
         ).filter(F.length("text") > 0)
-        toks = F.expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')")
+        toks = F.expr(TOKENS)
+        # repetition gate: share of bigram occurrences that are repeats
+        grams = F.expr(shingles(2, TOKENS))
+        dup_bigram = F.round(
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            / F.greatest(F.size(grams), F.lit(1)),
+            4,
+        )
         featured = content.select(
             "doc_id",
             "title",
             "n_media",
             F.size(toks).alias("n_tokens"),
+            dup_bigram.alias("dup_bigram_frac"),
             F.md5("text").alias("content_hash"),
         )
         from pyspark.sql import Window
@@ -156,7 +167,11 @@ def _extraction_queries() -> dict[str, Callable]:
             featured.withColumn("dup_rank", F.row_number().over(w))
             .withColumn("keep", F.col("dup_rank") == 1)
             .filter(F.col("n_tokens") >= 30)
-            .select("doc_id", "title", "n_tokens", "n_media", "keep")
+            .filter(F.col("dup_bigram_frac") <= 0.9)
+            .select(
+                "doc_id", "title", "n_tokens", "n_media",
+                "dup_bigram_frac", "keep",
+            )
             .orderBy("doc_id")
         )
 

@@ -121,17 +121,23 @@ def run_bench() -> dict:
     for name in [
         "q1_pricing_summary",
         "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "orders_cube",
         "sessionize_events",
         "numwords_rules_classify",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_clusters",
         "dedup_simhash",
+        "dedup_simhash_pairs",
         "embedding_cosine_topk",
         "ann_lsh_buckets",
+        "ann_ivf_trained_topk",
         "lang_id",
         "quality_score",
         "token_count",
         "doc_fingerprint",
+        "repetition_stats",
     ]:
         _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
         queries[name] = round(t, 3)
