@@ -69,6 +69,12 @@ _ANCHOR_END = 1    # cheaper than strings and cannot collide with text
 
 _MAX_LINE_LENGTH = 80  # Parser.coffee:198
 
+# is-word classification memo: web corpora repeat tokens heavily, and
+# is_word(token) is a pure function, so cache it (bounded; values are
+# tiny).  Shared across documents within a worker process.
+_WORD_MEMO: dict[str, bool] = {}
+_WORD_MEMO_CAP = 1 << 16
+
 
 class BoilerpipeParser:
     """Single-document fold; reusable via parse_document_from_html."""
@@ -197,6 +203,7 @@ class BoilerpipeParser:
             return
 
         search = _IS_WORD_SEARCH
+        memo = _WORD_MEMO
         num_words = 0
         num_words_in_anchor_text = 0
         num_wrapped_lines = 0
@@ -208,7 +215,13 @@ class BoilerpipeParser:
         for token in self.token_buffer:
             if type(token) is int:  # anchor sentinels
                 in_anchor_text = token == _ANCHOR_START
-            elif search(token):
+                continue
+            w = memo.get(token)
+            if w is None:
+                w = search(token) is not None
+                if len(memo) < _WORD_MEMO_CAP:
+                    memo[token] = w
+            if w:
                 num_tokens += 1
                 num_words += 1
                 num_words_current_line += 1
