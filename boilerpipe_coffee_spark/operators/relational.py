@@ -664,6 +664,88 @@ ORDER BY tag, p_brand
 """
 
 
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + join -- the form Catalyst
+    produces and the only form that scales (the correlated version
+    re-scans lineitem per row)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.8).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.8 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def events_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (p50/p95 of value).
+    Scale note: exact percentile needs the group's values together --
+    fine for bounded groups; unbounded cardinality would switch to
+    approx_percentile (t-digest, mergeable map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def distinct_users_two_phase(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via the shuffle-safe two-phase form:
+    dedupe (event_type, user_id) pairs first (map-side combine applies),
+    then count per type.  This is the salting-family rewrite for
+    skewed distinct aggregation -- one hot event_type no longer funnels
+    every raw event through a single reducer, only its distinct keys."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_TWO_PHASE_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def orders_cube(spark, sf_dir):
     """CUBE over (status, priority): all four grouping sets in one
     pass -- Spark expands to a single expand+aggregate, no re-scan per
@@ -695,6 +777,9 @@ QUERIES = {
     "parts_shipped_early_semi": parts_shipped_early_semi,
     "brand_set_ops": brand_set_ops,
     "orders_cube": orders_cube,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "events_percentiles": events_percentiles,
+    "distinct_users_two_phase": distinct_users_two_phase,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_rollup": events_rollup,
     "q3_shipping_priority": q3_shipping_priority,
@@ -715,6 +800,9 @@ ORACLES = {
     "parts_shipped_early_semi": SEMI_JOIN_SQL,
     "brand_set_ops": SET_OPS_SQL,
     "orders_cube": ORDERS_CUBE_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
+    "events_percentiles": PERCENTILES_SQL,
+    "distinct_users_two_phase": DISTINCT_TWO_PHASE_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "q3_shipping_priority": Q3_SQL,
