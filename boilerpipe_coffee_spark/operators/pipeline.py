@@ -43,6 +43,7 @@ def run_partitioned(
     out_dir: str,
     extractor: str = "ArticleExtractor",
     n_buckets: int = 64,
+    balanced: bool = False,
 ) -> dict:
     """Process ``df`` (doc_id, spans) with bucket-grained resume.
 
@@ -63,6 +64,10 @@ def run_partitioned(
     output, so input/output divergence is detectable.  ``wall_ms`` is
     the wall time of the whole committing pass (buckets no longer run
     serially, so per-bucket wall is not a meaningful quantity).
+
+    ``balanced=True`` routes giant documents through
+    :func:`extract_balanced` (see its cost model) -- for ingest layouts
+    known to cluster giants.
 
     Returns summary {buckets_run, buckets_skipped, docs_out, errors}.
     """
@@ -98,7 +103,8 @@ def run_partitioned(
         .collect()
     }
 
-    result = with_bucket(extract(part.drop("bucket"), extractor))
+    run_extract = extract_balanced if balanced else extract
+    result = with_bucket(run_extract(part.drop("bucket"), extractor))
     (
         result.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--extractor", default="ArticleExtractor")
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--balanced", action="store_true",
+                    help="route giant docs via extract_balanced (use when "
+                         "the ingest layout clusters giants)")
     args = ap.parse_args()
     if not args.synth and not args.input:
         ap.error("one of --input or --synth is required")
@@ -52,7 +55,8 @@ def main() -> None:
         docs = read_interleaved(spark, args.input)
 
     summary = run_partitioned(
-        spark, docs, args.output, args.extractor, n_buckets=args.buckets
+        spark, docs, args.output, args.extractor, n_buckets=args.buckets,
+        balanced=args.balanced,
     )
     print(json.dumps(summary))
     spark.stop()
