@@ -295,6 +295,20 @@ WITH {_minhash_pairs_ctes()}
 SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
 """
 
+MINHASH_BAND_STATS_SQL = f"""
+WITH {_minhash_pairs_ctes()},
+bc AS (
+  SELECT band_key, count(*) AS bucket_n FROM stacked GROUP BY band_key
+)
+SELECT count(*) AS n_buckets,
+       max(bucket_n) AS max_bucket,
+       sum(CASE WHEN bucket_n > 64 THEN 1 ELSE 0 END)::BIGINT
+         AS buckets_dropped,
+       sum(CASE WHEN bucket_n > 64 THEN bucket_n ELSE 0 END)::BIGINT
+         AS docs_in_dropped
+FROM bc
+"""
+
 
 # ------------------------------------------------------------------ #
 
@@ -440,15 +454,17 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
     lexicographic min doc_id of the component, keep = is-canonical.
     Singletons keep themselves.
 
-    Algorithm: iterative min-label propagation over the (tiny relative
-    to the corpus) edge set -- each round joins labels to edges, takes
-    the min over neighbors, and stops when no label changed.  Rounds =
-    graph diameter; duplicate clusters are shallow (near-clique), so
-    this converges in 2-3 rounds in practice.  ``localCheckpoint``
-    truncates the growing plan per round.  At 10^12 docs the same loop
-    runs on the pairs table only (never the corpus); alternating
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce") is the drop-in upgrade if diameters grow."""
+    Algorithm: iterative min-label propagation over ONLY the nodes
+    that appear in candidate pairs -- singletons can never change label,
+    so the iterated table is edge-sized, not corpus-sized (at 10^12
+    docs with a ~1% near-dup rate that is a 100x smaller shuffle per
+    round); the full corpus joins back once at the end with
+    cluster_id = doc_id for untouched docs.  Rounds = component
+    diameter; duplicate clusters are shallow (near-clique), so this
+    converges in 2-3 rounds.  ``localCheckpoint`` truncates the
+    growing plan per round.  Alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce") is the
+    drop-in upgrade if diameters grow."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
     edges = (
         pairs.select(
@@ -462,8 +478,9 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         .localCheckpoint(eager=True)
     )
     labels = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
@@ -492,11 +509,20 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-    ).orderBy("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -523,9 +549,11 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_clusters": dedup_clusters,
+    "minhash_band_stats": minhash_band_stats,
 }
 
 ORACLES = {
+    "minhash_band_stats": MINHASH_BAND_STATS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

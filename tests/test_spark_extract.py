@@ -91,6 +91,41 @@ def test_unfiltered_paths_agree(spark, t1_df):
         assert all(k != "text" for k, _, _, _ in sa)
 
 
+def test_degenerate_span_inputs_both_paths(spark):
+    """Empty span lists, NULL span lists, media-only docs, and NULL
+    text payloads must flow through BOTH paths without crashing, with
+    identical outputs (locks the Arrow offsets/validity handling)."""
+    rows = [
+        ("empty", []),
+        ("null_spans", None),
+        ("media_only",
+         [{"kind": "image", "text": None, "media_ref": "m1", "offset": 0}]),
+        ("null_text",
+         [{"kind": "text", "text": None, "media_ref": None, "offset": 0}]),
+        ("normal",
+         [{"kind": "text",
+           "text": "<body><p>hello world this is fine text</p></body>",
+           "media_ref": None, "offset": 0}]),
+    ]
+    df = spark.createDataFrame(rows, schema=INTERLEAVED_SCHEMA)
+    prod = {r.doc_id: r for r in extract(df, "KeepEverythingExtractor").collect()}
+    staged = {
+        r.doc_id: r
+        for r in extract_staged(df, "KeepEverythingExtractor").collect()
+    }
+    assert set(prod) == set(staged) == {r[0] for r in rows}
+    for doc_id in prod:
+        a, b = prod[doc_id], staged[doc_id]
+        sa = [(s.kind, s.text, s.media_ref, s.order) for s in (a.spans or [])]
+        sb = [(s.kind, s.text, s.media_ref, s.order) for s in (b.spans or [])]
+        assert (a.title, sa, a.error) == (b.title, sb, b.error), doc_id
+    for doc_id in ("empty", "null_spans", "null_text"):
+        assert prod[doc_id].error is None and not prod[doc_id].spans
+    media = [(s.kind, s.media_ref, s.order) for s in prod["media_only"].spans]
+    assert media == [("image", "m1", 0)]
+    assert any(s.kind == "text" for s in prod["normal"].spans)
+
+
 @pytest.mark.parametrize(
     "extractor",
     ["DefaultExtractor", "LargestContentExtractor", "KeepEverythingExtractor"],
