@@ -746,6 +746,144 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def asof_last_click_before_purchase(spark, sf_dir):
+    """AS-OF JOIN: for every purchase, the user's most recent click at
+    or before it.  Spark has no asof-join operator; the scale-correct
+    expression is a UNION + window carry-forward -- one shuffle on
+    user_id, NO join, no per-row probe: interleave both streams in
+    event-time order and carry the last click forward with
+    last(..., ignorenulls).  Ties (click and purchase in the same
+    second) resolve click-first, matching ASOF's <= semantics; clicks
+    are pre-deduped to max(event_id) per (user, second) so the oracle's
+    tie-break is well-defined.  The DuckDB oracle uses its NATIVE
+    ASOF JOIN, so the two formulations verify each other."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.unix_timestamp("ts")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", e.alias("e"), "event_id")
+        .groupBy("user_id", "e")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id", "e", "click_id",
+            F.lit(None).cast("long").alias("purchase_id"),
+            F.lit(True).alias("is_click"),
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        e.alias("e"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(False).alias("is_click"),
+    )
+    merged = clicks.unionByName(purch)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("e", F.desc("is_click"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried_id = F.last(
+        F.when(F.col("is_click"), F.col("click_id")), ignorenulls=True
+    ).over(w)
+    carried_e = F.last(
+        F.when(F.col("is_click"), F.col("e")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.select(
+            "user_id", "e", "purchase_id", "is_click",
+            carried_id.alias("last_click_id"),
+            carried_e.alias("click_e"),
+        )
+        .filter(~F.col("is_click") & F.col("last_click_id").isNotNull())
+        .select(
+            "user_id",
+            "purchase_id",
+            "last_click_id",
+            (F.col("e") - F.col("click_e")).alias("gap_sec"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS e, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purch AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS e, event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_id, c.click_id AS last_click_id,
+       (p.e - c.e)::BIGINT AS gap_sec
+FROM purch p ASOF JOIN clicks c
+  ON p.user_id = c.user_id AND p.e >= c.e
+ORDER BY purchase_id
+"""
+
+
+def range_join_nearby_events(spark, sf_dir, window_sec: int = 60):
+    """RANGE JOIN: for every event, how many other events by the same
+    user fall within +-60 s.  Spark plans a naive time-inequality self
+    join as BroadcastNestedLoop/cartesian, so the scale-correct form is
+    the BUCKETED range join: index each event in its time bucket
+    (width = range), probe the 3 adjacent buckets, and filter the exact
+    predicate columnar.  Each qualifying pair is found exactly once
+    (the index side's bucket is unique), the shuffle is keyed on
+    uniform (user, bucket), and nothing is quadratic.  The DuckDB
+    oracle is the plain inequality self-join."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("e")
+    )
+    b = F.floor(F.col("e") / window_sec)
+    probe = ev.select(
+        "user_id",
+        "event_id",
+        "e",
+        F.explode(F.array(b - 1, b, b + 1)).alias("pb"),
+    )
+    index = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("other_id"),
+        F.col("e").alias("e2"),
+        b.alias("b2"),
+    )
+    pairs = (
+        probe.join(
+            index,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("pb") == F.col("b2"))
+            & (F.col("event_id") != F.col("other_id"))
+            & (F.abs(F.col("e") - F.col("e2")) <= window_sec),
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_nearby"))
+    )
+    return (
+        ev.join(pairs, "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce("n_nearby", F.lit(0)).alias("n_nearby"),
+        )
+        .orderBy("event_id")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS e FROM events
+), pairs AS (
+  SELECT a.event_id, count(*) AS n_nearby
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_id <> b.event_id
+   AND abs(a.e - b.e) <= 60
+  GROUP BY 1
+)
+SELECT ev.event_id, coalesce(p.n_nearby, 0)::BIGINT AS n_nearby
+FROM ev LEFT JOIN pairs p USING (event_id) ORDER BY event_id
+"""
+
+
 def orders_cube(spark, sf_dir):
     """CUBE over (status, priority): all four grouping sets in one
     pass -- Spark expands to a single expand+aggregate, no re-scan per
@@ -780,6 +918,8 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "events_percentiles": events_percentiles,
     "distinct_users_two_phase": distinct_users_two_phase,
+    "asof_last_click_before_purchase": asof_last_click_before_purchase,
+    "range_join_nearby_events": range_join_nearby_events,
     "q6_forecast_revenue": q6_forecast_revenue,
     "events_rollup": events_rollup,
     "q3_shipping_priority": q3_shipping_priority,
@@ -803,6 +943,8 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "events_percentiles": PERCENTILES_SQL,
     "distinct_users_two_phase": DISTINCT_TWO_PHASE_SQL,
+    "asof_last_click_before_purchase": ASOF_SQL,
+    "range_join_nearby_events": RANGE_JOIN_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "events_rollup": EVENTS_ROLLUP_SQL,
     "q3_shipping_priority": Q3_SQL,

@@ -61,6 +61,39 @@ def test_semi_anti_plans_are_semi_anti(spark):
     assert "PushedFilters" in semi
 
 
+def test_range_join_plans_as_equi_join(spark):
+    """The bucketed range join must plan as an equi join on
+    (user, bucket) -- a naive time-inequality join would plan as
+    BroadcastNestedLoopJoin/cartesian and melt at scale."""
+    from boilerpipe_coffee_spark.operators.relational import (
+        range_join_nearby_events,
+    )
+
+    plan = _plan(range_join_nearby_events(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+
+
+def test_asof_join_is_join_free(spark):
+    """The as-of operator is a union + window carry-forward: the core
+    must contain a Window and NO join at all (the trailing orderBy
+    aside, nothing shuffles beyond the one user_id exchange)."""
+    from boilerpipe_coffee_spark.operators.relational import (
+        asof_last_click_before_purchase,
+    )
+
+    plan = _plan(asof_last_click_before_purchase(spark, SF))
+    assert "Window" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
+
+
 def test_cosine_topk_broadcasts_queries(spark):
     plan = _plan(cosine_topk(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
