@@ -116,6 +116,34 @@ def _extraction_queries() -> dict[str, Callable]:
             "embedding"
         )
 
+    def media_resize(spark, sf_dir):
+        from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.operators.multimodal import (
+            media_payloads,
+            resize_images,
+        )
+        from boilerpipe_coffee_spark.sources import synth_interleaved
+
+        docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
+        media = media_payloads(extract(docs, "KeepEverythingExtractor"))
+        return resize_images(media, max_px=256).drop("payload").orderBy(
+            "media_ref"
+        )
+
+    def media_frames(spark, sf_dir):
+        from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.operators.multimodal import (
+            media_payloads,
+            sample_frames,
+        )
+        from boilerpipe_coffee_spark.sources import synth_interleaved
+
+        docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
+        media = media_payloads(extract(docs, "KeepEverythingExtractor"))
+        return sample_frames(media, every_ms=5000).drop("frame").orderBy(
+            "media_ref", "frame_idx"
+        )
+
     def pretrain_pipeline(spark, sf_dir):
         """End-to-end training-data pipeline over the interleaved
         corpus: extract -> content text -> quality + repetition gates
@@ -186,6 +214,8 @@ def _extraction_queries() -> dict[str, Callable]:
         "extract_keepeverything_spans": keep_everything,
         "extract_article_staged": staged_article,
         "media_decode_features": media_features,
+        "media_resize": media_resize,
+        "media_frames": media_frames,
         "pretrain_pipeline": pretrain_pipeline,
     }
 

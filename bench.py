@@ -138,6 +138,9 @@ def run_bench() -> dict:
         "token_count",
         "doc_fingerprint",
         "repetition_stats",
+        "top_terms",
+        "asof_last_click_before_purchase",
+        "range_join_nearby_events",
     ]:
         _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
         queries[name] = round(t, 3)

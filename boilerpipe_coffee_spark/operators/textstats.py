@@ -308,7 +308,30 @@ ORDER BY d.doc_id
 REPETITION_SQL = _repetition_sql()
 
 
+def top_terms(spark, sf_dir, k: int = 20):
+    """Corpus-wide exact heavy hitters: token counts via the canonical
+    explode -> map-side-combined groupBy -> TakeOrdered top-k (partial
+    per-partition top-k, tiny final merge -- never a global sort).
+    Deterministic tie-break on the term itself."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(k)
+    )
+
+
+TOP_TERMS_SQL = f"""
+SELECT term, count(*) AS n
+FROM (SELECT unnest({_TOKENS_DUCK}) AS term FROM documents)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 QUERIES = {
+    "top_terms": top_terms,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
@@ -317,6 +340,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "top_terms": TOP_TERMS_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
