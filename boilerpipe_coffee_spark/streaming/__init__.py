@@ -182,6 +182,25 @@ def _work_dirs(kind: str, sf_dir: str):
     return f"{base}/drops", f"{base}/out", f"{base}/ckpt"
 
 
+class _scoped_shuffle_partitions:
+    """Temporarily bound spark.sql.shuffle.partitions for a streaming
+    demo query: the state store creates one instance PER shuffle
+    partition PER micro-batch, so a vanilla 200-partition session pays
+    ~10x overhead on a demo-sized stream.  Results are partition-count
+    independent; only the wall time changes.  (A real deployment sizes
+    this once per job, not per query.)"""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, str(n)
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def streaming_windowed_event_counts(spark, sf_dir, poll_timeout: float = 120.0):
     """Events table replayed as an (unordered) file stream in several
     micro-batches; watermarked hourly windows in APPEND mode.
@@ -195,14 +214,22 @@ def streaming_windowed_event_counts(spark, sf_dir, poll_timeout: float = 120.0):
     own window stays unflushed and never reaches the sink, so the
     emitted rows equal the plain hourly aggregate -- the DuckDB oracle.
     """
-    import time
-
     drops, out, ckpt = _work_dirs("win", sf_dir)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_rows, max_ts = events.agg(
         F.count("*"), F.max("ts")
     ).collect()[0]
     events.repartition(6).write.parquet(drops)
+
+    with _scoped_shuffle_partitions(spark, 8):
+        return _run_windowed(
+            spark, events, drops, out, ckpt, n_rows, max_ts, poll_timeout
+        )
+
+
+def _run_windowed(spark, events, drops, out, ckpt, n_rows, max_ts,
+                  poll_timeout):
+    import time
 
     stream = (
         spark.readStream.schema(events.schema)
@@ -276,7 +303,8 @@ def streaming_dedup_first_seen(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(drops)
     )
-    run_available_now(dedup_first_seen(stream), out, ckpt)
+    with _scoped_shuffle_partitions(spark, 8):
+        run_available_now(dedup_first_seen(stream), out, ckpt)
     emitted = spark.read.parquet(out)
     return (
         emitted.groupBy("content_hash")
