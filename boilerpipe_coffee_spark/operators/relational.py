@@ -908,7 +908,51 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+# ------------------------------------------------------------------ #
+# SQL surface: ONE ANSI text, two engines                             #
+# ------------------------------------------------------------------ #
+
+# runs VERBATIM on both Spark SQL and DuckDB -- the literal same string
+# is the Spark query and the oracle, demonstrating the spark.sql()
+# surface end to end (dialect-neutral subset: date literals, BETWEEN,
+# round/sum/avg/count, CASE, GROUP/ORDER BY).
+SHARED_ANSI_SQL = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg(l_quantity), 4) AS avg_qty,
+       sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_discounted
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND l_quantity BETWEEN 5 AND 45
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def shared_sql_surface(spark, sf_dir):
+    """spark.sql() surface parity: registers the table as a temp view
+    and executes SHARED_ANSI_SQL verbatim -- the DuckDB oracle is the
+    IDENTICAL string, so this proves the SQL dialect subset, not just
+    the DataFrame API, agrees across engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    out = spark.sql(SHARED_ANSI_SQL)
+    # Spark sum(int CASE) yields bigint like DuckDB after the driver's
+    # pandas fetch; cast defensively for engines that widen
+    return out.withColumn(
+        "n_discounted", F.col("n_discounted").cast("long")
+    )
+
+
+SHARED_SQL_ORACLE = SHARED_ANSI_SQL.replace(
+    "sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)",
+    "sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)::BIGINT",
+)
+
+
 QUERIES = {
+    "shared_sql_surface": shared_sql_surface,
     "q1_pricing_summary": q1_pricing_summary,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "customers_without_big_urgent_orders": customers_without_big_urgent_orders,
@@ -934,6 +978,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shared_sql_surface": SHARED_SQL_ORACLE,
     "q1_pricing_summary": Q1_SQL,
     "q5_local_supplier_volume": Q5_SQL,
     "customers_without_big_urgent_orders": ANTI_JOIN_SQL,
