@@ -8,8 +8,10 @@ they live here once instead of drifting apart per module:
   lowercase split on non-alphanumeric runs, empties dropped.
 - ``shingles(k)`` / ``shingles_duck(k)``: word k-grams of those tokens
   (space-joined), the dedup/similarity unit.
-- ``H64`` / ``H64_DUCK``: md5-derived 60-bit integer hash of a string
-  column, the only hash both engines compute bit-identically.
+- ``h64_duck(col)``: DuckDB md5-derived 60-bit integer hash -- the
+  oracle twin of the Column-level ``_h64`` the operators build with
+  ``F.conv(F.substring(F.md5(...), 1, 15), 16, 10)``; the only hash
+  both engines compute bit-identically.
 """
 
 from __future__ import annotations
@@ -38,11 +40,7 @@ def shingles_duck(k: int = 3, toks: str = TOKENS_DUCK) -> str:
     )
 
 
-def h64(col: str) -> str:
-    """Spark SQL: md5-hex prefix -> bigint (60 bits, non-negative)."""
-    return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) AS bigint)"
-
-
 def h64_duck(col: str) -> str:
-    """DuckDB twin of :func:`h64`."""
+    """DuckDB md5-hex prefix -> bigint (60 bits, non-negative); twin of
+    the operators' Column-level ``_h64``."""
     return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"

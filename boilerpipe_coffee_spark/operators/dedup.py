@@ -54,11 +54,17 @@ def _h64(col):
 
 from ..functions import TOKENS as _TOKENS
 from ..functions import TOKENS_DUCK as _TOKENS_DUCK
+from ..functions import h64_duck as _h64_duck
 from ..functions import shingles as _mk_shingles
 from ..functions import shingles_duck as _mk_shingles_duck
 
 _SHINGLES = _mk_shingles(3)
 _SHINGLES_DUCK = _mk_shingles_duck(3)
+
+# band-bucket skew cap, shared by the Spark operator AND the DuckDB
+# oracle CTEs so capped semantics stay value-identical; non-default
+# caps therefore diverge from oracle_sql() and are for ad-hoc use only
+BUCKET_CAP = 64
 
 
 # ------------------------------------------------------------------ #
@@ -156,20 +162,10 @@ ORDER BY doc_a, doc_b
 # ------------------------------------------------------------------ #
 
 
-def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = 64):
-    """MinHash signatures + banded LSH candidate pairs.
-
-    Skew guard: a band bucket holding B docs emits B^2/2 pairs, so a
-    flood of identical boilerplate (millions of copies of one page)
-    would turn the band join quadratic.  Buckets larger than
-    ``bucket_cap`` are dropped from the candidate join -- membership in
-    a flood bucket means near-exact duplication, which the exact-dedup
-    pass (hash groupBy, linear) already resolves; the LSH pass exists
-    for the long tail of NEAR duplicates.  On a normal corpus no bucket
-    approaches the cap, so the result is identical to the uncapped
-    oracle (the sf0.01 driver check proves it); ``minhash_band_stats``
-    reports dropped buckets for monitoring.
-    """
+def _minhash_pairs(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
+    """Distinct (doc_a < doc_b) candidate pairs, UNSORTED -- consumers
+    that don't need presentation order (cluster resolution) use this
+    directly and skip the global sort."""
     from pyspark.sql import Window
 
     stacked = _minhash_bands(spark, sf_dir)
@@ -191,7 +187,25 @@ def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = 64):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
+    """MinHash signatures + banded LSH candidate pairs.
+
+    Skew guard: a band bucket holding B docs emits B^2/2 pairs, so a
+    flood of identical boilerplate (millions of copies of one page)
+    would turn the band join quadratic.  Buckets larger than
+    ``bucket_cap`` are dropped from the candidate join -- membership in
+    a flood bucket means near-exact duplication, which the exact-dedup
+    pass (hash groupBy, linear) already resolves; the LSH pass exists
+    for the long tail of NEAR duplicates.  The DuckDB oracle applies
+    the SAME cap (shared ``BUCKET_CAP`` constant in its CTEs), so the
+    parity invariant holds even on flood corpora;
+    ``minhash_band_stats`` reports dropped buckets for monitoring.
+    """
+    return _minhash_pairs(spark, sf_dir, bucket_cap).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -237,7 +251,7 @@ def _minhash_bands(spark, sf_dir):
     )
 
 
-def minhash_band_stats(spark, sf_dir, bucket_cap: int = 64):
+def minhash_band_stats(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     """Monitoring companion to the skew guard: bucket-size histogram
     plus how many buckets/docs the cap would drop."""
     counts = _minhash_bands(spark, sf_dir).groupBy("band_key").agg(
@@ -273,7 +287,7 @@ def _minhash_pairs_ctes() -> str:
   SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS sh
   FROM documents WHERE len({_TOKENS_DUCK}) >= 3
 ), hs AS (
-  SELECT doc_id, (('0x' || substring(md5(sh), 1, 15))::BIGINT) % {_P} AS h
+  SELECT doc_id, ({_h64_duck('sh')}) % {_P} AS h
   FROM ex
 ), sig AS (
   SELECT doc_id,
@@ -283,9 +297,15 @@ def _minhash_pairs_ctes() -> str:
   SELECT doc_id, {band_exprs} FROM sig
 ), stacked AS (
   {band_union}
+), capped AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bucket_n
+    FROM stacked)
+  WHERE bucket_n <= {BUCKET_CAP}
 ), lsh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM stacked a JOIN stacked b
+  FROM capped a JOIN capped b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
 
@@ -302,9 +322,9 @@ bc AS (
 )
 SELECT count(*) AS n_buckets,
        max(bucket_n) AS max_bucket,
-       sum(CASE WHEN bucket_n > 64 THEN 1 ELSE 0 END)::BIGINT
+       sum(CASE WHEN bucket_n > {BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT
          AS buckets_dropped,
-       sum(CASE WHEN bucket_n > 64 THEN bucket_n ELSE 0 END)::BIGINT
+       sum(CASE WHEN bucket_n > {BUCKET_CAP} THEN bucket_n ELSE 0 END)::BIGINT
          AS docs_in_dropped
 FROM bc
 """
@@ -349,7 +369,7 @@ WITH ex AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok
   FROM documents WHERE len({_TOKENS_DUCK}) > 0
 ), hs AS (
-  SELECT doc_id, (('0x' || substring(md5(tok), 1, 15))::BIGINT) % 4294967296 AS h
+  SELECT doc_id, ({_h64_duck('tok')}) % 4294967296 AS h
   FROM ex
 ), sums AS (
   SELECT doc_id,
@@ -465,7 +485,7 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
     growing plan per round.  Alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce") is the
     drop-in upgrade if diameters grow."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)  # unsorted: no global sort paid
     edges = (
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -509,6 +529,15 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent wrong labels are worse than a loud failure: the oracle
+        # (exact recursive CTE) would diverge undetectably otherwise
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge in "
+            f"{max_iters} rounds ({changed} labels still moving); "
+            "component diameter exceeds max_iters -- raise max_iters or "
+            "switch to large-star/small-star"
+        )
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")

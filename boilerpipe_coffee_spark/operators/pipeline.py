@@ -103,17 +103,22 @@ def run_partitioned(
         .collect()
     }
 
-    run_extract = extract_balanced if balanced else extract
-    result = with_bucket(run_extract(part.drop("bucket"), extractor))
-    (
-        result.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(data_dir)
-    )
+    total_in = sum(in_counts.values())
+    if total_in:
+        run_extract = extract_balanced if balanced else extract
+        result = with_bucket(run_extract(part.drop("bucket"), extractor))
+        (
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(data_dir)
+        )
     wall_ms = int((time.time() - t0) * 1000)
 
-    stats = {
+    # a fully-empty pending set wrote nothing (partitionBy emits no
+    # files for zero rows), so there is nothing to read back -- the
+    # pending buckets still commit zero-row metrics markers below
+    stats = {} if not total_in else {
         r["bucket"]: r
         for r in spark.read.parquet(data_dir)
         .filter(F.col("bucket").isin(pending))

@@ -21,6 +21,10 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import h64_duck as _h64_duck
+
+_H64_VEC = _h64_duck("vec_id::VARCHAR")
+
 N_PLANES = 8
 DIM = 64
 TOP_K = 5
@@ -121,12 +125,13 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 def _ann_sql() -> str:
+    h64_duck = _h64_duck
     planes = []
     for p in range(N_PLANES):
+        seed = f"'{p}:' || d"
         plane = (
             f"list_transform(range(1, {DIM + 1}), d -> "
-            f"((('0x' || substring(md5('{p}:' || d), 1, 15))::BIGINT % 2001 - 1000)"
-            f" / 1000.0))"
+            f"((({h64_duck(seed)}) % 2001 - 1000) / 1000.0))"
         )
         planes.append(
             f"(CASE WHEN list_dot_product(v, {plane}) >= 0 "
@@ -377,12 +382,12 @@ WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), seeds AS (
   SELECT (row_number() OVER (
-            ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+            ORDER BY {_H64_VEC},
                      vec_id) - 1)::INT AS cell_id,
          v AS cv
   FROM emb
   QUALIFY row_number() OVER (
-      ORDER BY ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+      ORDER BY {_H64_VEC},
                vec_id) <= {N_IVF_CELLS}
 ), scored0 AS (
   SELECT e.vec_id, e.v, s.cell_id,

@@ -182,23 +182,38 @@ def _work_dirs(kind: str, sf_dir: str):
     return f"{base}/drops", f"{base}/out", f"{base}/ckpt"
 
 
-class _scoped_shuffle_partitions:
-    """Temporarily bound spark.sql.shuffle.partitions for a streaming
-    demo query: the state store creates one instance PER shuffle
-    partition PER micro-batch, so a vanilla 200-partition session pays
-    ~10x overhead on a demo-sized stream.  Results are partition-count
-    independent; only the wall time changes.  (A real deployment sizes
-    this once per job, not per query.)"""
+class _scoped_conf:
+    """Temporarily pin session confs for a streaming demo query, then
+    restore.  Two reasons:
+    - spark.sql.shuffle.partitions: the state store creates one
+      instance PER shuffle partition PER micro-batch, so a vanilla
+      200-partition session pays ~10x on a demo-sized stream (results
+      are partition-count independent; only wall time changes);
+    - spark.sql.session.timeZone=UTC: the NTZ->timestamp->window->NTZ
+      round trip in the windowed query is only aligned with the
+      oracle's date_trunc('hour') when the session tz is hour-aligned
+      and DST-free -- pin it rather than assume the driver's default.
+    """
 
-    def __init__(self, spark, n: int):
-        self.spark, self.n = spark, str(n)
+    def __init__(self, spark, confs: dict):
+        self.spark, self.confs = spark, confs
 
     def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+        self.old = {
+            k: self.spark.conf.get(k) for k in self.confs
+        }
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        for k, v in self.old.items():
+            self.spark.conf.set(k, v)
+
+
+_STREAM_CONFS = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.session.timeZone": "UTC",
+}
 
 
 def streaming_windowed_event_counts(spark, sf_dir, poll_timeout: float = 120.0):
@@ -221,7 +236,7 @@ def streaming_windowed_event_counts(spark, sf_dir, poll_timeout: float = 120.0):
     ).collect()[0]
     events.repartition(6).write.parquet(drops)
 
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_conf(spark, _STREAM_CONFS):
         return _run_windowed(
             spark, events, drops, out, ckpt, n_rows, max_ts, poll_timeout
         )
@@ -249,33 +264,36 @@ def _run_windowed(spark, events, drops, out, ckpt, n_rows, max_ts,
     def _rows_seen():
         return sum(p["numInputRows"] for p in q.recentProgress)
 
-    t0 = time.time()
-    while _rows_seen() < n_rows and time.time() - t0 < poll_timeout:
-        time.sleep(0.5)
-    # sentinel: one event 40d + 2h past the corpus -> watermark lands
-    # 2h past max(ts), strictly beyond every real window end
-    import datetime as _dt
+    try:
+        t0 = time.time()
+        while _rows_seen() < n_rows and time.time() - t0 < poll_timeout:
+            time.sleep(0.5)
+        # sentinel: one event 40d + 2h past the corpus -> watermark
+        # lands 2h past max(ts), strictly beyond every real window end
+        import datetime as _dt
 
-    sentinel_ts = max_ts + _dt.timedelta(days=40, hours=2)
-    spark.createDataFrame(
-        [(int(1 << 62), sentinel_ts, int(0), "sentinel", 0.0, None)],
-        schema=events.schema,
-    ).coalesce(1).write.mode("append").parquet(drops)
-    while _rows_seen() < n_rows + 1 and time.time() - t0 < poll_timeout:
-        time.sleep(0.5)
-    # flush happens in the batch after the sentinel's; wait for the
-    # sink row count to stabilize at a nonzero value
-    last, stable = -1, 0
-    while stable < 3 and time.time() - t0 < poll_timeout:
-        time.sleep(0.7)
-        try:
-            now = spark.read.parquet(out).count()
-        except Exception:
-            now = 0
-        stable = stable + 1 if (now == last and now > 0) else 0
-        last = now
-    q.stop()
-    q.awaitTermination()
+        sentinel_ts = max_ts + _dt.timedelta(days=40, hours=2)
+        spark.createDataFrame(
+            [(int(1 << 62), sentinel_ts, int(0), "sentinel", 0.0, None)],
+            schema=events.schema,
+        ).coalesce(1).write.mode("append").parquet(drops)
+        while _rows_seen() < n_rows + 1 and time.time() - t0 < poll_timeout:
+            time.sleep(0.5)
+        # flush happens in the batch after the sentinel's; wait for the
+        # sink row count to stabilize at a nonzero value
+        last, stable = -1, 0
+        while stable < 3 and time.time() - t0 < poll_timeout:
+            time.sleep(0.7)
+            try:
+                now = spark.read.parquet(out).count()
+            except Exception:
+                now = 0
+            stable = stable + 1 if (now == last and now > 0) else 0
+            last = now
+    finally:
+        # never leak a running 200ms-trigger stream into the session
+        q.stop()
+        q.awaitTermination()
     return spark.read.parquet(out).orderBy("window_start", "event_type")
 
 
@@ -303,7 +321,7 @@ def streaming_dedup_first_seen(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(drops)
     )
-    with _scoped_shuffle_partitions(spark, 8):
+    with _scoped_conf(spark, _STREAM_CONFS):
         run_available_now(dedup_first_seen(stream), out, ckpt)
     emitted = spark.read.parquet(out)
     return (

@@ -52,6 +52,25 @@ def test_run_partitioned_resume(spark, tmp_path_factory):
     assert spark.read.parquet(out_dir + "/data").count() == 60
 
 
+def test_run_partitioned_empty_input(spark, tmp_path_factory):
+    """A fully-empty input (or filter) must commit zero-row markers for
+    every pending bucket, not crash on reading back a fileless
+    partitionBy write."""
+    out_dir = str(tmp_path_factory.mktemp("ppl_empty"))
+    docs = synth_interleaved(spark, 10, seed=5, partitions=2).filter(
+        "doc_id = 'no-such-doc'"
+    )
+    s = run_partitioned(spark, docs, out_dir, n_buckets=4)
+    assert s == {
+        "buckets_run": 4,
+        "buckets_skipped": 0,
+        "docs_out": 0,
+        "errors": 0,
+    }
+    s2 = run_partitioned(spark, docs, out_dir, n_buckets=4)
+    assert s2["buckets_run"] == 0 and s2["buckets_skipped"] == 4
+
+
 def test_run_partitioned_scans_input_O1_times(spark, tmp_path_factory):
     """The hash-bucket predicate cannot push down, so the input must be
     read a CONSTANT number of times (one lineage count + one extract
