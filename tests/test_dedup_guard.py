@@ -63,6 +63,27 @@ def test_band_stats_report_dropped_flood(spark, flood_dir):
     assert s.docs_in_dropped >= 4000
 
 
+def test_band_cap_parity_with_oracle_on_flood(spark, flood_dir):
+    """The DuckDB oracle applies the SAME bucket cap, so Spark and
+    oracle agree even when the cap is doing real work (the driver
+    corpus never exercises it)."""
+    import duckdb
+
+    from boilerpipe_coffee_spark.operators.dedup import DEDUP_MINHASH_SQL
+
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, flood_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{flood_dir}/documents.parquet')"
+    )
+    want = sorted((a, b) for a, b in con.sql(DEDUP_MINHASH_SQL).fetchall())
+    con.close()
+    assert got == want
+
+
 def test_clusters_resolve_chain_and_singletons(spark, tmp_path):
     """Seeded duplicate chain A~B, B~C (transitive) plus singletons:
     connected components must give one cluster with min-id canonical."""
