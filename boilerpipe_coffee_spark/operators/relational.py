@@ -884,6 +884,62 @@ FROM ev LEFT JOIN pairs p USING (event_id) ORDER BY event_id
 """
 
 
+def approx_distinct_kmv(spark, sf_dir, k: int = 64):
+    """APPROXIMATE distinct count per group via a KMV (bottom-k)
+    sketch: estimate = (k-1) * H / h_k where h_k is the k-th smallest
+    md5-derived hash of the key and H the hash range.  Unlike HLL the
+    whole computation is deterministic integer/IEEE arithmetic, so the
+    DuckDB oracle reproduces it bit-for-bit -- an approx aggregate that
+    still passes the exact value-parity gate.  Groups with fewer than k
+    distinct keys fall back to the exact count (estimate == exact).
+    The sketch is mergeable (union of bottom-k sets); at 10^12 rows a
+    typed partial aggregator replaces the distinct+window shown here.
+    Exact count emitted alongside so the sketch error is visible."""
+    ev = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    kth = ranked.filter(F.col("rn") == k).select(
+        "event_type", F.col("h").alias("hk")
+    )
+    exact = d.groupBy("event_type").agg(F.count("*").alias("n_distinct"))
+    hrange = float(1 << 60)
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_distinct").cast("double")
+    ).otherwise(F.round((k - 1) * hrange / F.col("hk"), 4))
+    return (
+        exact.join(kth, "event_type", "left")
+        .select("event_type", "n_distinct", est.alias("est_distinct"))
+        .orderBy("event_type")
+    )
+
+
+APPROX_KMV_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+), c AS (
+  SELECT event_type, count(*) AS n_distinct FROM d GROUP BY 1
+), kth AS (
+  SELECT event_type, h AS hk FROM r WHERE rn = 64
+)
+SELECT c.event_type, c.n_distinct,
+       round(CASE WHEN kth.hk IS NULL THEN c.n_distinct::DOUBLE
+                  ELSE 63.0 * 1152921504606846976.0 / kth.hk END, 4)
+         AS est_distinct
+FROM c LEFT JOIN kth USING (event_type)
+ORDER BY event_type
+"""
+
+
 def orders_cube(spark, sf_dir):
     """CUBE over (status, priority): all four grouping sets in one
     pass -- Spark expands to a single expand+aggregate, no re-scan per
@@ -962,6 +1018,7 @@ QUERIES = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "events_percentiles": events_percentiles,
     "distinct_users_two_phase": distinct_users_two_phase,
+    "approx_distinct_kmv": approx_distinct_kmv,
     "asof_last_click_before_purchase": asof_last_click_before_purchase,
     "range_join_nearby_events": range_join_nearby_events,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -988,6 +1045,7 @@ ORACLES = {
     "q17_small_quantity_revenue": Q17_SQL,
     "events_percentiles": PERCENTILES_SQL,
     "distinct_users_two_phase": DISTINCT_TWO_PHASE_SQL,
+    "approx_distinct_kmv": APPROX_KMV_SQL,
     "asof_last_click_before_purchase": ASOF_SQL,
     "range_join_nearby_events": RANGE_JOIN_SQL,
     "q6_forecast_revenue": Q6_SQL,
