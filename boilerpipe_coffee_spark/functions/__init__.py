@@ -8,10 +8,9 @@ they live here once instead of drifting apart per module:
   lowercase split on non-alphanumeric runs, empties dropped.
 - ``shingles(k)`` / ``shingles_duck(k)``: word k-grams of those tokens
   (space-joined), the dedup/similarity unit.
-- ``h64_duck(col)``: DuckDB md5-derived 60-bit integer hash -- the
-  oracle twin of the Column-level ``_h64`` the operators build with
-  ``F.conv(F.substring(F.md5(...), 1, 15), 16, 10)``; the only hash
-  both engines compute bit-identically.
+- ``h64(col)`` / ``h64_duck(col)``: the md5-derived 60-bit integer
+  hash -- the only hash both engines compute bit-identically; Column
+  form for Spark operators, SQL-string form for the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -40,7 +39,16 @@ def shingles_duck(k: int = 3, toks: str = TOKENS_DUCK) -> str:
     )
 
 
+def h64(col):
+    """Column-level md5-hex prefix -> bigint (60 bits, non-negative).
+    THE cross-engine hash: every operator that needs a hash both Spark
+    and the DuckDB oracle compute bit-identically must use this and
+    :func:`h64_duck`, never a local copy."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def h64_duck(col: str) -> str:
-    """DuckDB md5-hex prefix -> bigint (60 bits, non-negative); twin of
-    the operators' Column-level ``_h64``."""
+    """DuckDB twin of :func:`h64`."""
     return f"('0x' || substring(md5({col}), 1, 15))::BIGINT"

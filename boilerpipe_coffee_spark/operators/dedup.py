@@ -48,8 +48,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _h64(col):
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+from ..functions import h64 as _h64  # noqa: E402  (shared cross-engine hash)
 
 
 from ..functions import TOKENS as _TOKENS
@@ -503,6 +502,7 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    changed = -1  # set each round; -1 only if max_iters < 1
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)

@@ -884,7 +884,11 @@ FROM ev LEFT JOIN pairs p USING (event_id) ORDER BY event_id
 """
 
 
-def approx_distinct_kmv(spark, sf_dir, k: int = 64):
+KMV_K = 64  # shared with the oracle SQL below; non-default k would
+# silently diverge from oracle_sql(), so the parameter is fixed
+
+
+def approx_distinct_kmv(spark, sf_dir, k: int = KMV_K):
     """APPROXIMATE distinct count per group via a KMV (bottom-k)
     sketch: estimate = (k-1) * H / h_k where h_k is the k-th smallest
     md5-derived hash of the key and H the hash range.  Unlike HLL the
@@ -895,10 +899,10 @@ def approx_distinct_kmv(spark, sf_dir, k: int = 64):
     The sketch is mergeable (union of bottom-k sets); at 10^12 rows a
     typed partial aggregator replaces the distinct+window shown here.
     Exact count emitted alongside so the sketch error is visible."""
-    ev = _t(spark, sf_dir, "events")
-    h = F.conv(
-        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    from ..functions import h64
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = h64(F.col("user_id").cast("string"))
     d = ev.select("event_type", h.alias("h")).distinct()
     w = Window.partitionBy("event_type").orderBy("h")
     ranked = d.withColumn("rn", F.row_number().over(w))
@@ -917,11 +921,14 @@ def approx_distinct_kmv(spark, sf_dir, k: int = 64):
     )
 
 
-APPROX_KMV_SQL = """
+def _approx_kmv_sql() -> str:
+    from ..functions import h64_duck
+
+    return f"""
 WITH d AS (
   SELECT DISTINCT event_type,
-         ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
-  FROM events
+         {h64_duck('user_id::VARCHAR')} AS h
+  FROM events WHERE user_id IS NOT NULL
 ), r AS (
   SELECT event_type, h,
          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -929,15 +936,18 @@ WITH d AS (
 ), c AS (
   SELECT event_type, count(*) AS n_distinct FROM d GROUP BY 1
 ), kth AS (
-  SELECT event_type, h AS hk FROM r WHERE rn = 64
+  SELECT event_type, h AS hk FROM r WHERE rn = {KMV_K}
 )
 SELECT c.event_type, c.n_distinct,
        round(CASE WHEN kth.hk IS NULL THEN c.n_distinct::DOUBLE
-                  ELSE 63.0 * 1152921504606846976.0 / kth.hk END, 4)
+                  ELSE {KMV_K - 1}.0 * {float(1 << 60)} / kth.hk END, 4)
          AS est_distinct
 FROM c LEFT JOIN kth USING (event_type)
 ORDER BY event_type
 """
+
+
+APPROX_KMV_SQL = _approx_kmv_sql()
 
 
 def orders_cube(spark, sf_dir):

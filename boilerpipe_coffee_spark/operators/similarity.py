@@ -21,6 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import h64 as _h64
 from ..functions import h64_duck as _h64_duck
 
 _H64_VEC = _h64_duck("vec_id::VARCHAR")
@@ -125,13 +126,12 @@ def ann_lsh_buckets(spark, sf_dir):
 
 
 def _ann_sql() -> str:
-    h64_duck = _h64_duck
     planes = []
     for p in range(N_PLANES):
         seed = f"'{p}:' || d"
         plane = (
             f"list_transform(range(1, {DIM + 1}), d -> "
-            f"((({h64_duck(seed)}) % 2001 - 1000) / 1000.0))"
+            f"((({_h64_duck(seed)}) % 2001 - 1000) / 1000.0))"
         )
         planes.append(
             f"(CASE WHEN list_dot_product(v, {plane}) >= 0 "
@@ -326,9 +326,7 @@ def ann_ivf_trained_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    hk = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
-    ).cast("bigint")
+    hk = _h64(F.col("vec_id").cast("string"))
     # top-8 by hash = TakeOrderedAndProject (per-partition partial
     # top-k + tiny final merge), NOT a global sort -- scale-safe
     top = (
