@@ -341,12 +341,173 @@ FROM documents GROUP BY md5(text) ORDER BY content_hash
 """
 
 
+# ------------------------------------------------------------------ #
+# stateful session windows with event-time timeouts                   #
+# ------------------------------------------------------------------ #
+
+_SESS_OUT = (
+    "user_id bigint, seg_id bigint, n_events bigint, sum_value double,"
+    " start_epoch bigint, end_epoch bigint"
+)
+_SESS_STATE = "es array<bigint>, ids array<bigint>, vals array<double>"
+_SESSION_GAP_S = 1800
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """Accumulate a user's events in state; when the EVENT-TIME timeout
+    fires (watermark passed last-event + gap), sort, split on >gap
+    boundaries, emit final sessions, clear state.  Emission only at
+    timeout makes the result independent of arrival order and batch
+    boundaries -- the demo corpus replays files unordered."""
+    import pandas as pd
+
+    if state.hasTimedOut:
+        es, ids, vals = state.get
+        order = sorted(range(len(es)), key=lambda i: (es[i], ids[i]))
+        rows = []
+        seg, n, sv = 0, 0, 0.0
+        start = end = None
+        prev = None
+        for i in order:
+            if prev is None or es[i] - prev > _SESSION_GAP_S:
+                if prev is not None:
+                    rows.append((key[0], seg, n, round(sv, 4), start, end))
+                seg += 1
+                n, sv, start = 0, 0.0, es[i]
+            n += 1
+            sv += vals[i]
+            end = es[i]
+            prev = es[i]
+        if prev is not None:
+            rows.append((key[0], seg, n, round(sv, 4), start, end))
+        state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "seg_id", "n_events", "sum_value",
+                "start_epoch", "end_epoch",
+            ],
+        )
+        return
+
+    es, ids, vals = state.get if state.exists else ([], [], [])
+    es, ids, vals = list(es), list(ids), list(vals)
+    for pdf in pdfs:
+        es.extend(int(x) for x in pdf["e"])
+        ids.extend(int(x) for x in pdf["event_id"])
+        vals.extend(float(x) for x in pdf["value"])
+    state.update((es, ids, vals))
+    # event-time timeout: fire once the watermark passes the user's
+    # last event + gap (i.e. the last session is provably closed)
+    state.setTimeoutTimestamp((max(es) + _SESSION_GAP_S + 1) * 1000)
+    yield pd.DataFrame(
+        columns=[
+            "user_id", "seg_id", "n_events", "sum_value",
+            "start_epoch", "end_epoch",
+        ]
+    )
+
+
+def sessionize_stream(events: DataFrame, watermark_delay: str) -> DataFrame:
+    """Session windows via applyInPandasWithState + EventTimeTimeout:
+    the third stateful shape (beyond windowed aggs and running state) a
+    continuous pipeline needs.  Sessions close exactly when the
+    watermark passes last_event + gap, so the output equals the batch
+    window-based sessionization (SESSIONIZE_SQL oracle)."""
+    keyed = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .withColumn("e", F.unix_timestamp("ts"))
+        .select("user_id", "event_id", "value", "ts", "e")
+        .groupBy("user_id")
+    )
+    return keyed.applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_sessionize(spark, sf_dir, poll_timeout: float = 120.0):
+    """Events replayed unordered; the 40-day watermark delay keeps
+    every replayed row on time, then a sentinel event (user -1, far
+    future) advances the watermark past every real timeout so all
+    sessions emit.  Output (sentinel user dropped) equals the batch
+    sessionize_events / SESSIONIZE_SQL exactly."""
+    import datetime as _dt
+    import time
+
+    drops, out, ckpt = _work_dirs("sess", sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows, max_ts = events.agg(F.count("*"), F.max("ts")).collect()[0]
+    events.repartition(6).write.parquet(drops)
+
+    with _scoped_conf(spark, _STREAM_CONFS):
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(drops)
+        )
+        q = (
+            sessionize_stream(stream, watermark_delay="40 days")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+        def _rows_seen():
+            return sum(p["numInputRows"] for p in q.recentProgress)
+
+        try:
+            t0 = time.time()
+            while _rows_seen() < n_rows and time.time() - t0 < poll_timeout:
+                time.sleep(0.5)
+            sentinel_ts = max_ts + _dt.timedelta(days=41)
+            spark.createDataFrame(
+                [(int(1 << 62), sentinel_ts, int(-1), "sentinel", 0.0, None)],
+                schema=events.schema,
+            ).coalesce(1).write.mode("append").parquet(drops)
+            last, stable = -1, 0
+            while stable < 3 and time.time() - t0 < poll_timeout:
+                time.sleep(0.7)
+                try:
+                    now = spark.read.parquet(out).count()
+                except Exception:
+                    now = 0
+                stable = stable + 1 if (now == last and now > 0) else 0
+                last = now
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "seg_id")
+    )
+
+
 QUERIES = {
     "streaming_windowed_event_counts": streaming_windowed_event_counts,
     "streaming_dedup_first_seen": streaming_dedup_first_seen,
+    "streaming_sessionize": streaming_sessionize,
 }
+
+def _sessionize_oracle() -> str:
+    # the batch window-based sessionization oracle IS the streaming
+    # oracle: same gap, same aggregates, same column names
+    from ..operators.relational import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL
+
 
 ORACLES = {
     "streaming_windowed_event_counts": STREAMING_WINDOWED_SQL,
     "streaming_dedup_first_seen": STREAMING_DEDUP_SQL,
+    "streaming_sessionize": _sessionize_oracle(),
 }
