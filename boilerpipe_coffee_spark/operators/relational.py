@@ -441,6 +441,37 @@ ORDER BY doc_id, sentence_idx
 """
 
 
+def udtf_sentence_explode(spark, sf_dir):
+    """UDTF surface (SURVEY 2.7): the sentence split re-expressed as a
+    Python UDTF consumed through a SQL LATERAL join -- same semantics
+    as :func:`split_sentences` (posexplode keeps the pre-filter index;
+    trim = spaces only, matching Spark/DuckDB ``trim``), same oracle.
+    Row-at-a-time Python, so the built-in posexplode variant is the
+    production path; this exists to prove the table-function surface."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence_len int")
+    class Sentences:
+        def eval(self, text):
+            if text is None:
+                return
+            # Java regex \s (ASCII) to match F.split("\\.\\s+")
+            parts = _re.split("\\.[ \\t\\n\\x0b\\f\\r]+", text)
+            for i, p in enumerate(parts):
+                if p.strip(" "):
+                    yield i, len(p)
+
+    spark.udtf.register("bpc_sentences", Sentences)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("bpc_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sentence_idx, s.sentence_len "
+        "FROM bpc_docs, LATERAL bpc_sentences(text) s "
+        "ORDER BY doc_id, sentence_idx"
+    )
+
+
 def q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: tight filter + single agg -- the predicate
     pushdown showcase (filters reach the parquet scan)."""
@@ -1042,6 +1073,7 @@ QUERIES = {
     "terminating_markers": terminating_markers,
     "min_clause_docs": min_clause_docs,
     "split_sentences": split_sentences,
+    "udtf_sentence_explode": udtf_sentence_explode,
 }
 
 ORACLES = {
@@ -1069,4 +1101,5 @@ ORACLES = {
     "terminating_markers": TERMINATING_SQL,
     "min_clause_docs": MIN_CLAUSE_SQL,
     "split_sentences": SPLIT_SENTENCES_SQL,
+    "udtf_sentence_explode": SPLIT_SENTENCES_SQL,
 }

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline for spark-submit.
+
+    tools/package.sh     # builds dist/boilerpipe_coffee_spark.zip
+    spark-submit --py-files dist/boilerpipe_coffee_spark.zip \
+        jobs/run_pipeline.py --synth N --output <dir> [--buckets 16]
+
+Stages (the composition a pretraining corpus build runs):
+
+1. EXTRACT   -- resumable bucketed extraction (operators.pipeline.
+   run_partitioned: single-scan dynamic partition overwrite,
+   per-bucket commit markers) -> <out>/extract/.
+2. FEATURES  -- content text reassembly, token count, duplicate-bigram
+   fraction (repetition gate), md5 content hash: pure columnar over
+   the extracted table.
+3. KEEP-SET  -- exact-dedup keep flag (first doc_id per content hash)
+   plus quality gates (>= 30 tokens, dup_bigram_frac <= 0.9)
+   -> <out>/training/ parquet.
+
+Stage 1 resumes from its commit markers on restart; stages 2-3 are a
+deterministic function of stage 1's output and rerun idempotently
+(overwrite).  Prints ONE JSON line with the stage counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="interleaved-doc table/path")
+    ap.add_argument("--synth", type=int, default=0)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--extractor", default="ArticleExtractor")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--min-tokens", type=int, default=30)
+    ap.add_argument("--max-dup-bigram", type=float, default=0.9)
+    args = ap.parse_args()
+    if not args.synth and not args.input:
+        ap.error("one of --input or --synth is required")
+
+    spark = (
+        SparkSession.builder.appName("bpc-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+    from boilerpipe_coffee_spark.functions import TOKENS, shingles
+    from boilerpipe_coffee_spark.operators.pipeline import run_partitioned
+    from boilerpipe_coffee_spark.sources import (
+        read_interleaved,
+        synth_interleaved,
+    )
+
+    if args.synth:
+        docs = synth_interleaved(spark, args.synth, seed=42)
+    else:
+        docs = read_interleaved(spark, args.input)
+
+    # stage 1: resumable extraction
+    extract_dir = os.path.join(args.output, "extract")
+    s1 = run_partitioned(
+        spark, docs, extract_dir, args.extractor, n_buckets=args.buckets
+    )
+
+    # stage 2: features over the extracted table (columnar, no python)
+    extracted = spark.read.parquet(os.path.join(extract_dir, "data"))
+    content = (
+        extracted.filter(F.col("error").isNull())
+        .select(
+            "doc_id",
+            "title",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
+                    lambda s: s.text,
+                ),
+            ).alias("text"),
+            F.size(
+                F.filter(F.col("spans"), lambda s: s.kind != F.lit("text"))
+            ).alias("n_media"),
+        )
+        .filter(F.length("text") > 0)
+    )
+    grams = F.expr(shingles(2, TOKENS))
+    dup_bigram = F.round(
+        (F.size(grams) - F.size(F.array_distinct(grams)))
+        / F.greatest(F.size(grams), F.lit(1)),
+        4,
+    )
+    featured = content.select(
+        "doc_id",
+        "title",
+        "text",
+        "n_media",
+        F.size(F.expr(TOKENS)).alias("n_tokens"),
+        dup_bigram.alias("dup_bigram_frac"),
+        F.md5("text").alias("content_hash"),
+    )
+
+    # stage 3: keep-set (exact dedup + quality gates) -> training table
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    training = (
+        featured.withColumn("dup_rank", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("dup_rank") == 1)
+        .filter(
+            F.col("is_canonical")
+            & (F.col("n_tokens") >= args.min_tokens)
+            & (F.col("dup_bigram_frac") <= args.max_dup_bigram)
+        )
+        .drop("dup_rank", "is_canonical")
+    )
+    training_dir = os.path.join(args.output, "training")
+    training.write.mode("overwrite").parquet(training_dir)
+
+    kept = spark.read.parquet(training_dir).count()
+    totals = extracted.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("q"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "buckets_run": s1["buckets_run"],
+                "buckets_skipped": s1["buckets_skipped"],
+                "extracted": int(totals.n),
+                "quarantined": int(totals.q or 0),
+                "kept": kept,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
