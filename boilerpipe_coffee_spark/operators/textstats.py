@@ -330,8 +330,49 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def unigram_logprob_quality(spark, sf_dir):
+    """Perplexity-lite quality signal: average per-token unigram log
+    probability under the corpus's own unigram distribution -- the
+    cheap stand-in for LM-perplexity filtering in pretraining
+    pipelines.  Two linear passes: corpus term counts (map-side
+    combined groupBy), then an explode + broadcast-join back and a
+    per-doc mean.  add-0 smoothing is safe because every scored token
+    is by construction in the vocabulary."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tc"))
+    total = toks.count()
+    scored = toks.join(F.broadcast(vocab), "term").select(
+        "doc_id", (F.log(F.col("tc") / F.lit(float(total)))).alias("lp")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents
+), vocab AS (
+  SELECT term, count(*) AS tc FROM toks GROUP BY term
+), total AS (
+  SELECT count(*)::DOUBLE AS n FROM toks
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(ln(v.tc / total.n)), 4) AS avg_logprob
+FROM toks t JOIN vocab v USING (term), total
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "top_terms": top_terms,
+    "unigram_logprob_quality": unigram_logprob_quality,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
@@ -341,6 +382,7 @@ QUERIES = {
 
 ORACLES = {
     "top_terms": TOP_TERMS_SQL,
+    "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
