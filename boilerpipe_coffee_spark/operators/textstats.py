@@ -6,7 +6,7 @@ bit-identical md5-derived hashing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = {
@@ -370,8 +370,57 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+def tfidf_top_terms(spark, sf_dir, k: int = 3):
+    """Top-k TF-IDF terms per document: per-doc term frequencies, a
+    broadcast document-frequency join (idf = ln(N/df)), and a per-doc
+    top-k window.  The canonical two-pass text pipeline -- both passes
+    map-side combinable, the only full shuffle keyed on doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*)::DOUBLE AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, rank, term, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "top_terms": top_terms,
+    "tfidf_top_terms": tfidf_top_terms,
     "unigram_logprob_quality": unigram_logprob_quality,
     "lang_id": lang_id,
     "quality_score": quality_score,
@@ -382,6 +431,7 @@ QUERIES = {
 
 ORACLES = {
     "top_terms": TOP_TERMS_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
