@@ -146,59 +146,26 @@ def _extraction_queries() -> dict[str, Callable]:
 
     def pretrain_pipeline(spark, sf_dir):
         """End-to-end training-data pipeline over the interleaved
-        corpus: extract -> content text -> quality + repetition gates
-        -> exact-dedup keep flag.  The composition a 100 TB pretraining
-        job runs; rows-only check (extraction is not SQL-expressible).
-        All stages are the same operators verified individually against
-        DuckDB (quality_score / repetition_stats / dedup_exact shapes).
-        """
-        from boilerpipe_coffee_spark.functions import TOKENS, shingles
+        corpus: extract -> content features -> quality + repetition
+        gates -> exact-dedup keep flag.  The feature/gate stage is the
+        SHARED operator (operators.pretrain.content_features) the
+        deployable job (jobs/run_pipeline.py) also runs; rows-only
+        check (extraction is not SQL-expressible)."""
         from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.operators.pretrain import (
+            content_features,
+        )
         from boilerpipe_coffee_spark.sources import synth_interleaved
 
         docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
-        out = extract(docs, "ArticleExtractor").filter(F.col("error").isNull())
-        content = out.select(
-            "doc_id",
-            "title",
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
-                    lambda s: s.text,
-                ),
-            ).alias("text"),
-            F.size(F.filter(F.col("spans"), lambda s: s.kind != F.lit("text"))).alias(
-                "n_media"
-            ),
-        ).filter(F.length("text") > 0)
-        toks = F.expr(TOKENS)
-        # repetition gate: share of bigram occurrences that are repeats
-        grams = F.expr(shingles(2, TOKENS))
-        dup_bigram = F.round(
-            (F.size(grams) - F.size(F.array_distinct(grams)))
-            / F.greatest(F.size(grams), F.lit(1)),
-            4,
-        )
-        featured = content.select(
-            "doc_id",
-            "title",
-            "n_media",
-            F.size(toks).alias("n_tokens"),
-            dup_bigram.alias("dup_bigram_frac"),
-            F.md5("text").alias("content_hash"),
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        out = extract(docs, "ArticleExtractor")
         return (
-            featured.withColumn("dup_rank", F.row_number().over(w))
-            .withColumn("keep", F.col("dup_rank") == 1)
-            .filter(F.col("n_tokens") >= 30)
-            .filter(F.col("dup_bigram_frac") <= 0.9)
+            content_features(out)
+            .filter(F.col("passes_gates"))
             .select(
                 "doc_id", "title", "n_tokens", "n_media",
-                "dup_bigram_frac", "keep",
+                "dup_bigram_frac",
+                F.col("is_canonical").alias("keep"),
             )
             .orderBy("doc_id")
         )

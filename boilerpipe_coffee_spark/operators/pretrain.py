@@ -1,0 +1,75 @@
+"""Shared pretraining feature/gate stage.
+
+ONE implementation of the extract-output -> training-candidate
+transform, consumed by both the driver-contract query
+(``__spark_entry__.pretrain_pipeline``) and the deployable job
+(``jobs/run_pipeline.py``) so the two can never drift: content text
+reassembly from surviving spans, token count, duplicate-bigram
+fraction (repetition gate), md5 content hash, exact-dedup canonical
+flag, and the combined keep decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import TOKENS, shingles
+
+
+def content_features(
+    extracted: DataFrame,
+    min_tokens: int = 30,
+    max_dup_bigram: float = 0.9,
+) -> DataFrame:
+    """(doc_id, title, spans, error) -> featured rows.
+
+    Output columns: doc_id, title, text, n_media, n_tokens,
+    dup_bigram_frac, content_hash, is_canonical (first doc_id per
+    content hash), passes_gates (length + repetition), keep (both).
+    Quarantined and empty documents are dropped.  All stages are
+    columnar; the only shuffle is the content-hash window."""
+    content = (
+        extracted.filter(F.col("error").isNull())
+        .select(
+            "doc_id",
+            "title",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
+                    lambda s: s.text,
+                ),
+            ).alias("text"),
+            F.size(
+                F.filter(F.col("spans"), lambda s: s.kind != F.lit("text"))
+            ).alias("n_media"),
+        )
+        .filter(F.length("text") > 0)
+    )
+    grams = F.expr(shingles(2, TOKENS))
+    dup_bigram = F.round(
+        (F.size(grams) - F.size(F.array_distinct(grams)))
+        / F.greatest(F.size(grams), F.lit(1)),
+        4,
+    )
+    featured = content.select(
+        "doc_id",
+        "title",
+        "text",
+        "n_media",
+        F.size(F.expr(TOKENS)).alias("n_tokens"),
+        dup_bigram.alias("dup_bigram_frac"),
+        F.md5("text").alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    gates = (F.col("n_tokens") >= min_tokens) & (
+        F.col("dup_bigram_frac") <= max_dup_bigram
+    )
+    return (
+        featured.withColumn(
+            "is_canonical", F.row_number().over(w) == 1
+        )
+        .withColumn("passes_gates", gates)
+        .withColumn("keep", F.col("is_canonical") & F.col("passes_gates"))
+    )

@@ -341,9 +341,13 @@ def unigram_logprob_quality(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
     vocab = toks.groupBy("term").agg(F.count("*").alias("tc"))
-    total = toks.count()
-    scored = toks.join(F.broadcast(vocab), "term").select(
-        "doc_id", (F.log(F.col("tc") / F.lit(float(total)))).alias("lp")
+    # token total as an in-plan one-row aggregate (broadcast cross
+    # join), not a separate eager count() action over the corpus
+    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("tc") / F.col("n_total")).alias("lp"))
     )
     return (
         scored.groupBy("doc_id")

@@ -242,17 +242,24 @@ def streaming_windowed_event_counts(spark, sf_dir, poll_timeout: float = 120.0):
         )
 
 
-def _run_windowed(spark, events, drops, out, ckpt, n_rows, max_ts,
-                  poll_timeout):
+def _replay_until_flushed(spark, schema, drops, out, ckpt, transform,
+                          n_rows, sentinel_row, poll_timeout):
+    """Shared replay scaffolding for the sentinel-flushed demos: run
+    ``transform(stream)`` to a parquet sink, wait for the FULL backlog
+    (raising on timeout -- writing the sentinel early would advance the
+    watermark past not-yet-ingested real rows and silently drop them as
+    late), append the watermark-advancing sentinel, then wait for the
+    sink to flush and stabilize.  Each phase gets its own timeout
+    budget; the query is always stopped."""
     import time
 
     stream = (
-        spark.readStream.schema(events.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2)
         .parquet(drops)
     )
     q = (
-        windowed_event_counts(stream, watermark_delay="40 days")
+        transform(stream)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
@@ -261,39 +268,62 @@ def _run_windowed(spark, events, drops, out, ckpt, n_rows, max_ts,
         .start()
     )
 
-    def _rows_seen():
+    def rows_seen():
         return sum(p["numInputRows"] for p in q.recentProgress)
 
-    try:
+    def wait(cond, budget, what):
         t0 = time.time()
-        while _rows_seen() < n_rows and time.time() - t0 < poll_timeout:
+        while not cond():
+            if time.time() - t0 > budget:
+                raise TimeoutError(
+                    f"streaming replay: {what} not reached within "
+                    f"{budget}s ({rows_seen()}/{n_rows} rows ingested)"
+                )
             time.sleep(0.5)
-        # sentinel: one event 40d + 2h past the corpus -> watermark
-        # lands 2h past max(ts), strictly beyond every real window end
-        import datetime as _dt
 
-        sentinel_ts = max_ts + _dt.timedelta(days=40, hours=2)
-        spark.createDataFrame(
-            [(int(1 << 62), sentinel_ts, int(0), "sentinel", 0.0, None)],
-            schema=events.schema,
-        ).coalesce(1).write.mode("append").parquet(drops)
-        while _rows_seen() < n_rows + 1 and time.time() - t0 < poll_timeout:
-            time.sleep(0.5)
+    try:
+        wait(lambda: rows_seen() >= n_rows, poll_timeout, "full backlog")
+        spark.createDataFrame([sentinel_row], schema=schema).coalesce(
+            1
+        ).write.mode("append").parquet(drops)
+        wait(lambda: rows_seen() >= n_rows + 1, poll_timeout, "sentinel")
         # flush happens in the batch after the sentinel's; wait for the
         # sink row count to stabilize at a nonzero value
-        last, stable = -1, 0
-        while stable < 3 and time.time() - t0 < poll_timeout:
-            time.sleep(0.7)
+        state = {"last": -1, "stable": 0}
+
+        def stabilized():
             try:
                 now = spark.read.parquet(out).count()
             except Exception:
                 now = 0
-            stable = stable + 1 if (now == last and now > 0) else 0
-            last = now
+            state["stable"] = (
+                state["stable"] + 1 if (now == state["last"] and now > 0) else 0
+            )
+            state["last"] = now
+            return state["stable"] >= 3
+
+        wait(stabilized, poll_timeout, "sink flush")
     finally:
         # never leak a running 200ms-trigger stream into the session
         q.stop()
         q.awaitTermination()
+
+
+def _run_windowed(spark, events, drops, out, ckpt, n_rows, max_ts,
+                  poll_timeout):
+    import datetime as _dt
+
+    # sentinel: one event 40d + 2h past the corpus -> watermark lands
+    # 2h past max(ts), strictly beyond every real window end
+    sentinel = (
+        int(1 << 62), max_ts + _dt.timedelta(days=40, hours=2),
+        int(0), "sentinel", 0.0, None,
+    )
+    _replay_until_flushed(
+        spark, events.schema, drops, out, ckpt,
+        lambda s: windowed_event_counts(s, watermark_delay="40 days"),
+        n_rows, sentinel, poll_timeout,
+    )
     return spark.read.parquet(out).orderBy("window_start", "event_type")
 
 
@@ -437,53 +467,22 @@ def streaming_sessionize(spark, sf_dir, poll_timeout: float = 120.0):
     sessions emit.  Output (sentinel user dropped) equals the batch
     sessionize_events / SESSIONIZE_SQL exactly."""
     import datetime as _dt
-    import time
 
     drops, out, ckpt = _work_dirs("sess", sf_dir)
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     n_rows, max_ts = events.agg(F.count("*"), F.max("ts")).collect()[0]
     events.repartition(6).write.parquet(drops)
 
+    sentinel = (
+        int(1 << 62), max_ts + _dt.timedelta(days=41),
+        int(-1), "sentinel", 0.0, None,
+    )
     with _scoped_conf(spark, _STREAM_CONFS):
-        stream = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(drops)
+        _replay_until_flushed(
+            spark, events.schema, drops, out, ckpt,
+            lambda s: sessionize_stream(s, watermark_delay="40 days"),
+            n_rows, sentinel, poll_timeout,
         )
-        q = (
-            sessionize_stream(stream, watermark_delay="40 days")
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(processingTime="200 milliseconds")
-            .start()
-        )
-
-        def _rows_seen():
-            return sum(p["numInputRows"] for p in q.recentProgress)
-
-        try:
-            t0 = time.time()
-            while _rows_seen() < n_rows and time.time() - t0 < poll_timeout:
-                time.sleep(0.5)
-            sentinel_ts = max_ts + _dt.timedelta(days=41)
-            spark.createDataFrame(
-                [(int(1 << 62), sentinel_ts, int(-1), "sentinel", 0.0, None)],
-                schema=events.schema,
-            ).coalesce(1).write.mode("append").parquet(drops)
-            last, stable = -1, 0
-            while stable < 3 and time.time() - t0 < poll_timeout:
-                time.sleep(0.7)
-                try:
-                    now = spark.read.parquet(out).count()
-                except Exception:
-                    now = 0
-                stable = stable + 1 if (now == last and now > 0) else 0
-                last = now
-        finally:
-            q.stop()
-            q.awaitTermination()
 
     return (
         spark.read.parquet(out)
@@ -498,16 +497,12 @@ QUERIES = {
     "streaming_sessionize": streaming_sessionize,
 }
 
-def _sessionize_oracle() -> str:
-    # the batch window-based sessionization oracle IS the streaming
-    # oracle: same gap, same aggregates, same column names
-    from ..operators.relational import SESSIONIZE_SQL
-
-    return SESSIONIZE_SQL
-
+# the batch window-based sessionization oracle IS the streaming
+# oracle: same gap, same aggregates, same column names
+from ..operators.relational import SESSIONIZE_SQL as _SESSIONIZE_SQL  # noqa: E402
 
 ORACLES = {
     "streaming_windowed_event_counts": STREAMING_WINDOWED_SQL,
     "streaming_dedup_first_seen": STREAMING_DEDUP_SQL,
-    "streaming_sessionize": _sessionize_oracle(),
+    "streaming_sessionize": _SESSIONIZE_SQL,
 }

@@ -28,7 +28,7 @@ import argparse
 import json
 import os
 
-from pyspark.sql import SparkSession, Window
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
@@ -51,8 +51,8 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from boilerpipe_coffee_spark.functions import TOKENS, shingles
     from boilerpipe_coffee_spark.operators.pipeline import run_partitioned
+    from boilerpipe_coffee_spark.operators.pretrain import content_features
     from boilerpipe_coffee_spark.sources import (
         read_interleaved,
         synth_interleaved,
@@ -69,53 +69,17 @@ def main() -> None:
         spark, docs, extract_dir, args.extractor, n_buckets=args.buckets
     )
 
-    # stage 2: features over the extracted table (columnar, no python)
+    # stages 2-3: the SHARED feature/gate operator (same code the
+    # driver-contract pretrain_pipeline query runs), keep-set filter
     extracted = spark.read.parquet(os.path.join(extract_dir, "data"))
-    content = (
-        extracted.filter(F.col("error").isNull())
-        .select(
-            "doc_id",
-            "title",
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
-                    lambda s: s.text,
-                ),
-            ).alias("text"),
-            F.size(
-                F.filter(F.col("spans"), lambda s: s.kind != F.lit("text"))
-            ).alias("n_media"),
-        )
-        .filter(F.length("text") > 0)
-    )
-    grams = F.expr(shingles(2, TOKENS))
-    dup_bigram = F.round(
-        (F.size(grams) - F.size(F.array_distinct(grams)))
-        / F.greatest(F.size(grams), F.lit(1)),
-        4,
-    )
-    featured = content.select(
-        "doc_id",
-        "title",
-        "text",
-        "n_media",
-        F.size(F.expr(TOKENS)).alias("n_tokens"),
-        dup_bigram.alias("dup_bigram_frac"),
-        F.md5("text").alias("content_hash"),
-    )
-
-    # stage 3: keep-set (exact dedup + quality gates) -> training table
-    w = Window.partitionBy("content_hash").orderBy("doc_id")
     training = (
-        featured.withColumn("dup_rank", F.row_number().over(w))
-        .withColumn("is_canonical", F.col("dup_rank") == 1)
-        .filter(
-            F.col("is_canonical")
-            & (F.col("n_tokens") >= args.min_tokens)
-            & (F.col("dup_bigram_frac") <= args.max_dup_bigram)
+        content_features(
+            extracted,
+            min_tokens=args.min_tokens,
+            max_dup_bigram=args.max_dup_bigram,
         )
-        .drop("dup_rank", "is_canonical")
+        .filter(F.col("keep"))
+        .drop("is_canonical", "passes_gates", "keep")
     )
     training_dir = os.path.join(args.output, "training")
     training.write.mode("overwrite").parquet(training_dir)
