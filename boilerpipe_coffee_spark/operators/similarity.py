@@ -154,8 +154,12 @@ ANN_LSH_SQL = _ann_sql()
 
 
 def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.45):
-    """Embedding-cosine near-duplicate pairs (brute-force baseline;
-    at scale the LSH/IVF cells bound the candidate set first)."""
+    """Embedding-cosine near-duplicate pairs -- BRUTE-FORCE BASELINE
+    (O(N^2) non-equi self-join), kept only as the recall yardstick and
+    oracle anchor.  The production path is
+    :func:`dedup_embedding_lsh_pairs`: multi-table hyperplane LSH
+    buckets -> capped in-bucket candidate join -> exact cosine verify,
+    linear in corpus size."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -191,6 +195,172 @@ WITH emb AS (
 SELECT vec_a, vec_b, cosine FROM pairs
 WHERE cosine >= 0.45 ORDER BY vec_a, vec_b
 """
+
+
+# ------------------------------------------------------------------ #
+# embedding near-dup at scale: multi-table hyperplane LSH candidates   #
+# ------------------------------------------------------------------ #
+
+# Banding for vectors, mirroring the MinHash shape (dedup.py): T hash
+# tables of B hyperplanes each; a pair is a candidate iff it shares a
+# bucket in ANY table.  Per-plane collision probability for angle
+# theta is 1 - theta/pi, so per-table it is (1 - theta/pi)^B and
+# overall recall 1 - (1 - (1 - theta/pi)^B)^T.  At the test corpus's
+# near-dup band (cosine 0.45-0.51) T=12 x B=4 gives deterministic
+# 14/14 recall vs the brute-force baseline (planes are md5-derived,
+# so recall is a fixed property of the corpus, not a random variable).
+# At web scale B grows with log2(N) (more, smaller buckets) and T
+# grows to hold recall -- the plan shape is unchanged.
+N_TABLES = 12
+PLANES_PER_TABLE = 4
+# skew cap, shared with the DuckDB oracle CTEs (capped semantics stay
+# value-identical): natural buckets top out ~55 at sf0.01 / ~221 at
+# sf0.1, so 512 never clips organic data while a vector flood (
+# thousands of identical embeddings -> one mega-bucket) is dropped
+# from the candidate join; identical vectors are exact-dup territory
+# (dedup_exact on a vector hash), not LSH's job.
+EMB_BUCKET_CAP = 512
+EMB_NEARDUP_THRESHOLD = 0.45
+
+
+def _table_plane(t: int, b: int):
+    """Hyperplane b of table t (global plane index t*B + b)."""
+    p = t * PLANES_PER_TABLE + b
+    return F.array(*[F.lit(plane_weight(p, d)) for d in range(1, DIM + 1)])
+
+
+def dedup_embedding_lsh_pairs(
+    spark,
+    sf_dir,
+    threshold: float = EMB_NEARDUP_THRESHOLD,
+    bucket_cap: int = EMB_BUCKET_CAP,
+):
+    """Embedding near-duplicate pairs at scale: hyperplane-LSH
+    candidate generation + exact cosine verify -- the production twin
+    of :func:`dedup_embedding_cosine` (which is O(N^2)).
+
+    Plan shape (all linear in corpus size):
+      1. one scan computes T*B signed projections per vector and emits
+         (vec_id, table_idx, bucket) -- T rows/vector, ids only (the
+         64-dim payload does NOT ride through the explode);
+      2. bucket sizes via a window on (table_idx, bucket): ONE shuffle
+         whose hash partitioning the in-bucket self-join then reuses;
+         buckets over ``bucket_cap`` are dropped (vector floods are
+         exact-dup territory -- see EMB_BUCKET_CAP note);
+      3. in-bucket join emits DISTINCT (vec_a < vec_b) id pairs;
+      4. exact verify joins the pair ids back to the vectors (two
+         vec_id-keyed shuffle joins) and keeps cosine >= threshold.
+    """
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    entries = []
+    for t in range(N_TABLES):
+        bucket = None
+        for b in range(PLANES_PER_TABLE):
+            bit = F.when(
+                _dot(F.col("v"), _table_plane(t, b)) >= 0, F.lit(2 ** b)
+            ).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        entries.append(
+            F.struct(
+                F.lit(t).alias("table_idx"), bucket.cast("int").alias("bucket")
+            )
+        )
+    tb = emb.select(
+        "vec_id", F.explode(F.array(*entries)).alias("tb")
+    ).select("vec_id", "tb.table_idx", "tb.bucket")
+    bucket_n = F.count("*").over(Window.partitionBy("table_idx", "bucket"))
+    capped = (
+        tb.withColumn("bucket_n", bucket_n)
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .select("vec_id", "table_idx", "bucket")
+    )
+    a = capped.alias("a")
+    b_ = capped.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (_norm(F.col("va")) * _norm(F.col("vb"))),
+        4,
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _emb_lsh_pairs_sql(
+    threshold: float = EMB_NEARDUP_THRESHOLD, bucket_cap: int = EMB_BUCKET_CAP
+) -> str:
+    tables = []
+    for t in range(N_TABLES):
+        bits = []
+        for b in range(PLANES_PER_TABLE):
+            p = t * PLANES_PER_TABLE + b
+            seed = f"'{p}:' || d"
+            plane = (
+                f"list_transform(range(1, {DIM + 1}), d -> "
+                f"((({_h64_duck(seed)}) % 2001 - 1000) / 1000.0))"
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {plane}) >= 0 "
+                f"THEN {2 ** b} ELSE 0 END)"
+            )
+        tables.append(
+            f"SELECT vec_id, {t} AS table_idx, "
+            f"({' + '.join(bits)})::INT AS bucket FROM emb"
+        )
+    tb_union = "\n  UNION ALL\n  ".join(tables)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), tb AS (
+  {tb_union}
+), capped AS (
+  SELECT vec_id, table_idx, bucket FROM (
+    SELECT vec_id, table_idx, bucket,
+           count(*) OVER (PARTITION BY table_idx, bucket) AS bucket_n
+    FROM tb)
+  WHERE bucket_n <= {bucket_cap}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+), verified AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(ea.v, eb.v)
+               / (sqrt(list_dot_product(ea.v, ea.v))
+                  * sqrt(list_dot_product(eb.v, eb.v))), 4) AS cosine
+  FROM cand c
+  JOIN emb ea ON ea.vec_id = c.vec_a
+  JOIN emb eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM verified
+WHERE cosine >= {threshold} ORDER BY vec_a, vec_b
+"""
+
+
+DEDUP_EMB_LSH_SQL = _emb_lsh_pairs_sql()
 
 
 N_IVF_CELLS = 8
@@ -334,10 +504,17 @@ def ann_ivf_trained_topk(spark, sf_dir):
         .orderBy("hk", "vec_id")
         .limit(N_IVF_CELLS)
     )
-    w_seed = Window.orderBy("hk", "vec_id")  # 8 rows
-    seeds = top.select(
-        (F.row_number().over(w_seed) - 1).cast("int").alias("cell_id"),
-        F.col("v").alias("cv"),
+    # enumerate the k seeds DRIVER-SIDE: collect the 8 TakeOrdered rows
+    # once and rebuild a literal frame.  An in-plan global window over
+    # them is bounded but (a) logs the WindowExec single-partition
+    # warning (a partitionBy(lit) spec gets constant-folded away) and
+    # (b) re-evaluates the whole seed subtree at every downstream
+    # reference (4x here).  k is tiny by construction, so this is the
+    # one place a driver-side action is the scale-correct plan.
+    seed_rows = sorted(top.collect(), key=lambda r: (r.hk, r.vec_id))
+    seeds = spark.createDataFrame(
+        [(i, list(r.v)) for i, r in enumerate(seed_rows)],
+        "cell_id int, cv array<double>",
     )
     assigned0 = _assign(emb, seeds)
     # Lloyd update: per-cell dimension means (rounded for cross-engine
@@ -441,11 +618,13 @@ QUERIES = {
     "embedding_cosine_topk": cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLES = {
+    "dedup_embedding_lsh_pairs": DEDUP_EMB_LSH_SQL,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,

@@ -335,9 +335,14 @@ def unigram_logprob_quality(spark, sf_dir):
     probability under the corpus's own unigram distribution -- the
     cheap stand-in for LM-perplexity filtering in pretraining
     pipelines.  Two linear passes: corpus term counts (map-side
-    combined groupBy), then an explode + broadcast-join back and a
-    per-doc mean.  add-0 smoothing is safe because every scored token
-    is by construction in the vocabulary."""
+    combined groupBy), then an explode + join back and a per-doc mean.
+    add-0 smoothing is safe because every scored token is by
+    construction in the vocabulary.
+
+    The vocab join carries NO broadcast hint: on a web-scale corpus the
+    distinct-term table is 10^8-10^9 rows and a forced broadcast OOMs
+    executors.  At test SFs AQE broadcasts it anyway; at scale it falls
+    back to a term-keyed shuffle join, which is the correct plan."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
     vocab = toks.groupBy("term").agg(F.count("*").alias("tc"))
@@ -345,7 +350,7 @@ def unigram_logprob_quality(spark, sf_dir):
     # join), not a separate eager count() action over the corpus
     total = toks.agg(F.count("*").cast("double").alias("n_total"))
     scored = (
-        toks.join(F.broadcast(vocab), "term")
+        toks.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select("doc_id", F.log(F.col("tc") / F.col("n_total")).alias("lp"))
     )
@@ -376,20 +381,31 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 
 def tfidf_top_terms(spark, sf_dir, k: int = 3):
     """Top-k TF-IDF terms per document: per-doc term frequencies, a
-    broadcast document-frequency join (idf = ln(N/df)), and a per-doc
-    top-k window.  The canonical two-pass text pipeline -- both passes
-    map-side combinable, the only full shuffle keyed on doc_id."""
+    document-frequency join (idf = ln(N/df)), and a per-doc top-k
+    window.  The canonical two-pass text pipeline -- both passes
+    map-side combinable, the only full shuffle keyed on doc_id.
+
+    Scale notes: the corpus size N enters as an in-plan one-row
+    aggregate (broadcast cross join) -- no driver-side count() action
+    scanning the corpus before the real plan runs.  The df join carries
+    NO broadcast hint: the distinct-term table is corpus-cardinality
+    (10^8+ terms on web scale) and a forced broadcast OOMs executors;
+    AQE broadcasts it at small SF and shuffle-joins at scale."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
     toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ).alias("tfidf"),
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
