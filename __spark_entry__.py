@@ -30,29 +30,9 @@ N_FLAGSHIP_DOCS = 300
 
 
 def _flagship(spark: SparkSession, extractor: str) -> DataFrame:
-    from boilerpipe_coffee_spark.operators import extract
-    from boilerpipe_coffee_spark.sources import synth_interleaved
+    from boilerpipe_coffee_spark.operators.parity import flagship_spans
 
-    docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
-    out = extract(docs, extractor)
-    return (
-        out.select(
-            "doc_id",
-            "title",
-            "error",
-            F.posexplode_outer("spans").alias("pos", "s"),
-        )
-        .select(
-            "doc_id",
-            "title",
-            "error",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.order").alias("out_order"),
-        )
-        .orderBy("doc_id", "out_order")
-    )
+    return flagship_spans(spark, extractor).orderBy("doc_id", "out_order")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -190,6 +170,7 @@ def _extraction_queries() -> dict[str, Callable]:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from boilerpipe_coffee_spark.operators import (
         dedup,
+        parity,
         relational,
         similarity,
         textstats,
@@ -203,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(similarity.QUERIES)
     out.update(textstats.QUERIES)
     out.update(streaming.QUERIES)
+    out.update(parity.QUERIES)
     out.update(_extraction_queries())
     return out
 
@@ -210,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from boilerpipe_coffee_spark.operators import (
         dedup,
+        parity,
         relational,
         similarity,
         textstats,
@@ -223,6 +206,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(similarity.ORACLES)
     out.update(textstats.ORACLES)
     out.update(streaming.ORACLES)
+    # extract_parity: hash-checked extraction correctness -- Spark
+    # extraction output is multiset-diffed against the committed golden
+    # parquet (reference truth), oracle = aggregate over the same file
+    out.update(parity.ORACLES)
     # extract_* and media_decode_features: no SQL oracle (rows-only);
     # their exact-match gate is tests/test_golden.py + test_spark_extract.py
     return out
