@@ -355,7 +355,10 @@ def dedup_simhash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _simhash_sql() -> str:
+def _simhash_ctes() -> str:
+    """CTE list ending in ``sig(doc_id, simhash)`` -- shared by the
+    signature oracle and the candidate-pairs oracle (mirrors
+    :func:`_minhash_pairs_ctes`; no string surgery between builders)."""
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(32)
@@ -363,8 +366,7 @@ def _simhash_sql() -> str:
     recompose = " + ".join(
         f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
     )
-    return f"""
-WITH ex AS (
+    return f"""ex AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok
   FROM documents WHERE len({_TOKENS_DUCK}) > 0
 ), hs AS (
@@ -374,13 +376,15 @@ WITH ex AS (
   SELECT doc_id,
          {bit_sums}
   FROM hs GROUP BY doc_id
-)
-SELECT doc_id, ({recompose})::BIGINT AS simhash
-FROM sums ORDER BY doc_id
+), sig AS (
+  SELECT doc_id, ({recompose})::BIGINT AS simhash FROM sums
+)"""
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_simhash_ctes()}
+SELECT doc_id, simhash FROM sig ORDER BY doc_id
 """
-
-
-DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 # ------------------------------------------------------------------ #
@@ -438,13 +442,8 @@ def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
-    base = _simhash_sql()
-    # reuse the signature CTEs; strip the final SELECT/ORDER BY
-    ctes = base[: base.rindex("SELECT doc_id,")].rstrip()
-    return f"""{ctes}, sig AS (
-  SELECT doc_id, ({" + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32))})::BIGINT AS simhash
-  FROM sums
-), chunks AS (
+    return f"""
+WITH {_simhash_ctes()}, chunks AS (
   SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (8 * i)) & 255 AS chunk_val
   FROM sig, unnest([0, 1, 2, 3]) AS t(i)
 )

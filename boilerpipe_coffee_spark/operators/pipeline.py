@@ -30,11 +30,27 @@ from .arrow_extract import extract_arrow as extract
 
 
 def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
+    """Committed bucket ids from the metrics table.  ONLY the
+    missing-directory case means 'nothing committed yet'; any other
+    read failure (e.g. an out_dir written by a pre-hive-layout version
+    whose flat metrics files now mix with partition_id=N dirs) RAISES
+    instead of being masked as an empty set -- a masked failure would
+    silently re-run all buckets and hide the corruption."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(metrics_dir).select("partition_id").collect()
-        return {r.partition_id for r in rows}
-    except Exception:
-        return set()
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return set()
+        raise RuntimeError(
+            f"metrics dir {metrics_dir} exists but is not readable as the "
+            "hive-partitioned commit layout (metrics/partition_id=N/): "
+            "migrate or remove the legacy/corrupt contents instead of "
+            "re-running over them"
+        ) from e
+    return {r.partition_id for r in rows}
 
 
 def run_partitioned(

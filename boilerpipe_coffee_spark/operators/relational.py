@@ -277,6 +277,43 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+def sessionize_native_window(spark, sf_dir):
+    """The same sessionization through Spark's NATIVE
+    ``F.session_window`` aggregation -- a one-shuffle built-in that
+    replaces the lag+running-sum window pair of
+    :func:`sessionize_events` and cross-checks the stateful streaming
+    variant (streaming/).  Boundary semantics probed empirically:
+    session_window merges an event landing EXACTLY gap seconds after
+    the previous one (windows [t, t+gap] touch -> merge), identical to
+    the lag rule "new segment when gap > 1800" -- so all four
+    sessionization implementations share one oracle (SESSIONIZE_SQL).
+    seg_id is recovered as the per-user rank of session start."""
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.withColumn("tts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            "user_id", F.session_window("tts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min(F.unix_timestamp("tts")).alias("start_epoch"),
+            F.max(F.unix_timestamp("tts")).alias("end_epoch"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("start_epoch")
+    return (
+        sess.withColumn(
+            "seg_id", F.row_number().over(w).cast("bigint")
+        )
+        .select(
+            "user_id", "seg_id", "n_events", "sum_value",
+            "start_epoch", "end_epoch",
+        )
+        .orderBy("user_id", "seg_id")
+    )
+
+
 SESSIONIZE_SQL = """
 WITH g AS (
   SELECT user_id, event_id, value, floor(epoch(ts))::BIGINT AS e,
@@ -1069,6 +1106,7 @@ QUERIES = {
     "running_sum_cutoff": running_sum_cutoff,
     "keep_largest_per_group": keep_largest_per_group,
     "sessionize_events": sessionize_events,
+    "sessionize_native_window": sessionize_native_window,
     "fuse_adjacent_equal": fuse_adjacent_equal,
     "terminating_markers": terminating_markers,
     "min_clause_docs": min_clause_docs,
@@ -1097,6 +1135,7 @@ ORACLES = {
     "running_sum_cutoff": RUNNING_SUM_CUTOFF_SQL,
     "keep_largest_per_group": KEEP_LARGEST_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "sessionize_native_window": SESSIONIZE_SQL,
     "fuse_adjacent_equal": FUSE_ADJACENT_SQL,
     "terminating_markers": TERMINATING_SQL,
     "min_clause_docs": MIN_CLAUSE_SQL,

@@ -174,9 +174,13 @@ def run_available_now(result: DataFrame, out_dir: str, checkpoint_dir: str):
 
 def _work_dirs(kind: str, sf_dir: str):
     import hashlib
+    import os
     import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the pid: two concurrent sessions (pytest + a driver
+    # sim) on the same sf_dir must not rmtree each other's live
+    # drop/checkpoint dirs mid-stream
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     base = f"/tmp/bpc_stream_{kind}_{tag}"
     shutil.rmtree(base, ignore_errors=True)
     return f"{base}/drops", f"{base}/out", f"{base}/ckpt"
@@ -268,8 +272,16 @@ def _replay_until_flushed(spark, schema, drops, out, ckpt, transform,
         .start()
     )
 
+    # accumulate rows MONOTONICALLY per batchId: recentProgress is a
+    # ring buffer capped at ~100 entries, so with the 200ms trigger a
+    # long backlog would evict early batches and re-summing it each
+    # poll undercounts (spurious TimeoutError on a success)
+    seen_batches: dict[int, int] = {}
+
     def rows_seen():
-        return sum(p["numInputRows"] for p in q.recentProgress)
+        for p in q.recentProgress:
+            seen_batches[p["batchId"]] = p["numInputRows"]
+        return sum(seen_batches.values())
 
     def wait(cond, budget, what):
         t0 = time.time()
@@ -379,71 +391,111 @@ _SESS_OUT = (
     "user_id bigint, seg_id bigint, n_events bigint, sum_value double,"
     " start_epoch bigint, end_epoch bigint"
 )
-_SESS_STATE = "es array<bigint>, ids array<bigint>, vals array<double>"
+# seg = count of sessions already emitted (the only permanent O(1)
+# residue per user -- needed so session numbering survives a flushed
+# tail); the arrays hold ONLY the open tail, not the user's history
+_SESS_STATE = (
+    "seg bigint, es array<bigint>, ids array<bigint>, vals array<double>"
+)
 _SESSION_GAP_S = 1800
+
+_SESS_COLS = [
+    "user_id", "seg_id", "n_events", "sum_value", "start_epoch", "end_epoch",
+]
+
+
+def _sessions_of(es, ids, vals):
+    """Sort events by (epoch, event_id) and split on >gap boundaries.
+    Returns a list of dicts (n, sv, start, end, idx) in time order;
+    ``sv`` is the RAW float sum in sorted-event order (rounding happens
+    engine-side with F.round so half-away-from-zero matches the batch
+    path and the DuckDB oracle -- Python round() is half-even)."""
+    order = sorted(range(len(es)), key=lambda i: (es[i], ids[i]))
+    sessions = []
+    cur = None
+    for i in order:
+        if cur is None or es[i] - cur["end"] > _SESSION_GAP_S:
+            if cur is not None:
+                sessions.append(cur)
+            cur = {"n": 0, "sv": 0.0, "start": es[i], "end": es[i], "idx": []}
+        cur["n"] += 1
+        cur["sv"] += vals[i]
+        cur["end"] = es[i]
+        cur["idx"].append(i)
+    if cur is not None:
+        sessions.append(cur)
+    return sessions
 
 
 def _sessionize_fn(key, pdfs, state: GroupState):
-    """Accumulate a user's events in state; when the EVENT-TIME timeout
-    fires (watermark passed last-event + gap), sort, split on >gap
-    boundaries, emit final sessions, clear state.  Emission only at
-    timeout makes the result independent of arrival order and batch
-    boundaries -- the demo corpus replays files unordered."""
+    """INCREMENTAL sessionization with bounded state: each batch merges
+    new events into the open tail, emits every session the current
+    watermark has provably closed (end + gap < watermark -- any future
+    event has ts >= watermark, so it can neither extend nor bridge such
+    a session), and keeps ONLY the still-open tail in state.  A hot
+    user streaming forever therefore holds O(one open session) state,
+    not O(history).  The event-time timeout (watermark passes
+    last_event + gap) flushes the final tail; after it only the O(1)
+    session counter remains."""
     import pandas as pd
 
     if state.hasTimedOut:
-        es, ids, vals = state.get
-        order = sorted(range(len(es)), key=lambda i: (es[i], ids[i]))
-        rows = []
-        seg, n, sv = 0, 0, 0.0
-        start = end = None
-        prev = None
-        for i in order:
-            if prev is None or es[i] - prev > _SESSION_GAP_S:
-                if prev is not None:
-                    rows.append((key[0], seg, n, round(sv, 4), start, end))
-                seg += 1
-                n, sv, start = 0, 0.0, es[i]
-            n += 1
-            sv += vals[i]
-            end = es[i]
-            prev = es[i]
-        if prev is not None:
-            rows.append((key[0], seg, n, round(sv, 4), start, end))
-        state.remove()
-        yield pd.DataFrame(
-            rows,
-            columns=[
-                "user_id", "seg_id", "n_events", "sum_value",
-                "start_epoch", "end_epoch",
-            ],
-        )
+        seg, es, ids, vals = state.get
+        rows = [
+            (key[0], seg + j + 1, s["n"], s["sv"], s["start"], s["end"])
+            for j, s in enumerate(_sessions_of(es, ids, vals))
+        ]
+        # keep the counter (O(1)) so numbering continues if the user
+        # returns; no new timeout -- nothing left to flush
+        state.update((seg + len(rows), [], [], []))
+        yield pd.DataFrame(rows, columns=_SESS_COLS)
         return
 
-    es, ids, vals = state.get if state.exists else ([], [], [])
+    seg, es, ids, vals = state.get if state.exists else (0, [], [], [])
     es, ids, vals = list(es), list(ids), list(vals)
     for pdf in pdfs:
         es.extend(int(x) for x in pdf["e"])
         ids.extend(int(x) for x in pdf["event_id"])
         vals.extend(float(x) for x in pdf["value"])
-    state.update((es, ids, vals))
-    # event-time timeout: fire once the watermark passes the user's
-    # last event + gap (i.e. the last session is provably closed)
-    state.setTimeoutTimestamp((max(es) + _SESSION_GAP_S + 1) * 1000)
-    yield pd.DataFrame(
-        columns=[
-            "user_id", "seg_id", "n_events", "sum_value",
-            "start_epoch", "end_epoch",
-        ]
+
+    wm_s = state.getCurrentWatermarkMs() // 1000
+    sessions = _sessions_of(es, ids, vals)
+    rows = []
+    n_closed = 0
+    for s in sessions:  # time-ordered; closedness is a prefix property
+        if s["end"] + _SESSION_GAP_S < wm_s:
+            rows.append(
+                (key[0], seg + n_closed + 1, s["n"], s["sv"], s["start"],
+                 s["end"])
+            )
+            n_closed += 1
+        else:
+            break
+    open_idx = [i for s in sessions[n_closed:] for i in s["idx"]]
+    state.update(
+        (
+            seg + n_closed,
+            [es[i] for i in open_idx],
+            [ids[i] for i in open_idx],
+            [vals[i] for i in open_idx],
+        )
     )
+    if open_idx:
+        # fire once the watermark passes the open tail's last event +
+        # gap; guaranteed > current watermark since the tail is open
+        state.setTimeoutTimestamp(
+            (max(es[i] for i in open_idx) + _SESSION_GAP_S + 1) * 1000
+        )
+    yield pd.DataFrame(rows, columns=_SESS_COLS)
 
 
 def sessionize_stream(events: DataFrame, watermark_delay: str) -> DataFrame:
     """Session windows via applyInPandasWithState + EventTimeTimeout:
     the third stateful shape (beyond windowed aggs and running state) a
-    continuous pipeline needs.  Sessions close exactly when the
-    watermark passes last_event + gap, so the output equals the batch
-    window-based sessionization (SESSIONIZE_SQL oracle)."""
+    continuous pipeline needs.  Sessions close as soon as the watermark
+    provably seals them (incrementally, bounded state) and at the
+    latest when the event-time timeout fires, so the output equals the
+    batch window-based sessionization (SESSIONIZE_SQL oracle)."""
     keyed = (
         events.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark_delay)
@@ -451,13 +503,17 @@ def sessionize_stream(events: DataFrame, watermark_delay: str) -> DataFrame:
         .select("user_id", "event_id", "value", "ts", "e")
         .groupBy("user_id")
     )
-    return keyed.applyInPandasWithState(
+    out = keyed.applyInPandasWithState(
         _sessionize_fn,
         outputStructType=_SESS_OUT,
         stateStructType=_SESS_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+    # engine-side rounding: F.round is half-away-from-zero like the
+    # batch path and DuckDB round(); Python round() is half-even and
+    # would diverge on an exact decimal tie at the 4th place
+    return out.withColumn("sum_value", F.round("sum_value", 4))
 
 
 def streaming_sessionize(spark, sf_dir, poll_timeout: float = 120.0):
