@@ -466,6 +466,83 @@ DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 # ------------------------------------------------------------------ #
 
 
+def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): round count is O(log^2 n) REGARDLESS of component
+    diameter, unlike min-label propagation whose rounds equal the
+    diameter.  This is the long-chain fallback behind
+    :func:`dedup_clusters`.
+
+    ``pairs``: undirected candidate edges (doc_a < doc_b).  Returns
+    (doc_id, cluster_id) for every node touched by an edge, cluster_id
+    = component minimum.
+
+    Per round: large-star attaches every strictly-larger neighbor of a
+    node to that node's least neighbor-or-self; small-star (on the
+    high->low oriented result) attaches every smaller neighbor and the
+    node itself to its least neighbor.  Both are one groupBy + one
+    join keyed on the node -- edge-sized shuffles.  At the fixed point
+    the edge set is a union of stars centered at component minima."""
+    e = (
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )  # canonical orientation src > dst, positional (src, dst)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # large-star over the full neighborhood (both orientations);
+        # unionByName -- a positional union would silently undo the swap
+        nbrs = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mn = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+        mn = mn.select("src", F.least("src", "mn").alias("m"))
+        ls = (
+            nbrs.join(mn, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the (src > dst)-oriented large-star output
+        mn2 = ls.groupBy("src").agg(F.min("dst").alias("mn"))
+        ss = (
+            ls.join(mn2, "src")
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .unionByName(mn2.select("src", F.col("mn").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            ss.exceptAll(e).count() + e.exceptAll(ss).count()
+        )
+        e = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"_star_components: edge set still moving after {max_rounds} "
+            "alternating rounds -- should be impossible for any graph "
+            "(O(log^2 n) bound); investigate the edge input"
+        )
+    labels = e.select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+    mins = (
+        e.select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labels.unionByName(mins)
+
+
 def dedup_clusters(spark, sf_dir, max_iters: int = 20):
     """(doc_id, cluster_id, keep) for every document: connected
     components over the MinHash-LSH candidate pairs, cluster_id = the
@@ -480,9 +557,11 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
     cluster_id = doc_id for untouched docs.  Rounds = component
     diameter; duplicate clusters are shallow (near-clique), so this
     converges in 2-3 rounds.  ``localCheckpoint`` truncates the
-    growing plan per round.  Alternating large-star/small-star
-    (Kiveris et al., "Connected Components in MapReduce") is the
-    drop-in upgrade if diameters grow."""
+    growing plan per round.  If a long-chain corpus exhausts
+    ``max_iters`` (diameter > rounds), the run FALLS BACK to
+    :func:`_star_components` -- alternating large-star/small-star,
+    O(log^2 n) rounds independent of diameter -- instead of raising,
+    so pathological chains cost extra rounds, never a wrong answer."""
     pairs = _minhash_pairs(spark, sf_dir)  # unsorted: no global sort paid
     edges = (
         pairs.select(
@@ -529,14 +608,11 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         if changed == 0:
             break
     else:
-        # silent wrong labels are worse than a loud failure: the oracle
-        # (exact recursive CTE) would diverge undetectably otherwise
-        raise RuntimeError(
-            f"dedup_clusters: label propagation did not converge in "
-            f"{max_iters} rounds ({changed} labels still moving); "
-            "component diameter exceeds max_iters -- raise max_iters or "
-            "switch to large-star/small-star"
-        )
+        # diameter > max_iters: switch to the diameter-independent
+        # star algorithm (silent wrong labels would diverge from the
+        # exact recursive-CTE oracle undetectably; a slower correct
+        # path is the right degradation)
+        labels = _star_components(pairs)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")

@@ -1,0 +1,123 @@
+"""Large-star/small-star connected components: the diameter-
+independent fallback behind dedup_clusters.
+
+1. unit: _star_components on synthetic edge lists (long chain, clique,
+   pair, forest) must label every node with its component minimum.
+2. corpus: a seeded documents table whose MinHash-LSH candidate pairs
+   form a >20-diameter CHAIN -- min-label propagation alone cannot
+   converge within max_iters=20, so dedup_clusters must fall back and
+   still be hash-exact vs the recursive-CTE oracle."""
+
+import hashlib
+import random
+import re
+
+import duckdb
+import pytest
+
+from boilerpipe_coffee_spark.operators.dedup import (
+    _MINHASH_AB,
+    _P,
+    DEDUP_CLUSTERS_SQL,
+    N_BANDS,
+    _star_components,
+    dedup_clusters,
+)
+from test_dedup_guard import _write_documents
+
+CHAIN_LEN = 30  # diameter 29 > max_iters 20
+
+
+def test_star_components_labels_min(spark):
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 150)]          # 51-chain
+    edges += [(a, b) for a in range(5) for b in range(a + 1, 5)]  # clique
+    edges += [(900, 901)]                                   # pair
+    df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r.doc_id: r.cluster_id for r in _star_components(df).collect()
+    }
+    want = {i: 100 for i in range(100, 151)}
+    want.update({i: 0 for i in range(5)})
+    want.update({900: 900, 901: 900})
+    assert got == want
+
+
+# ---------------------------------------------------------------- #
+# deterministic Python mirror of the Spark/DuckDB minhash bands     #
+# ---------------------------------------------------------------- #
+
+
+def _band_keys(text):
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    if len(toks) < 3:
+        return set()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
+        for s in shingles
+    ]
+    sig = [min((a * h + b) % _P for h in hs) for a, b in _MINHASH_AB]
+    return {(j, sig[2 * j], sig[2 * j + 1]) for j in range(N_BANDS)}
+
+
+def _build_chain_corpus():
+    """Greedy seed search: each next doc replaces a block of words in
+    the previous one, accepted only if it band-collides with its
+    predecessor and with NO earlier doc -- so the LSH pair graph is
+    exactly the path 0-1-...-(n-1).  All hashing is md5-based, so the
+    search result is deterministic."""
+    rng = random.Random(20240816)
+
+    def fresh_words(n):
+        return [
+            "w" + "".join(rng.choice("abcdefghijklmnop") for _ in range(7))
+            for _ in range(n)
+        ]
+
+    docs = [fresh_words(40)]
+    bands = [_band_keys(" ".join(docs[0]))]
+    for i in range(1, CHAIN_LEN):
+        for _attempt in range(200):
+            cand = list(docs[i - 1])
+            start = rng.randrange(0, len(cand) - 15)
+            cand[start : start + 15] = fresh_words(15)
+            bk = _band_keys(" ".join(cand))
+            if not (bk & bands[i - 1]):
+                continue  # link to predecessor failed
+            if any(bk & bands[j] for j in range(i - 1)):
+                continue  # accidental shortcut -> would shrink diameter
+            docs.append(cand)
+            bands.append(bk)
+            break
+        else:
+            raise AssertionError(f"chain search stuck at doc {i}")
+    return [" ".join(d) for d in docs]
+
+
+@pytest.fixture(scope="module")
+def chain_dir(tmp_path_factory):
+    texts = _build_chain_corpus()
+    rows = [(i, t) for i, t in enumerate(texts)]
+    return _write_documents(tmp_path_factory.mktemp("chain"), rows)
+
+
+def test_long_chain_converges_and_matches_oracle(spark, chain_dir):
+    """Diameter-29 candidate chain: the default call (max_iters=20)
+    previously raised; now the star fallback resolves it, hash-exact
+    vs the exact recursive-CTE oracle."""
+    got = sorted(
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in dedup_clusters(spark, chain_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{chain_dir}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(DEDUP_CLUSTERS_SQL).fetchall())
+    con.close()
+    assert got == want
+    # and the chain really is one component rooted at doc 0
+    assert all(cl == 0 for _, cl, _ in got)
+    assert [d for d, _, k in got if k] == [0]
