@@ -82,7 +82,54 @@ def _timed(fn):
     return out, time.time() - t0
 
 
+# Every timed query runs once per PASS and the reported number is the
+# per-query MEDIAN across passes.  The host's run-to-run variance is
+# +/-30% (thermal/neighbors, CLAUDE.md), so single-shot timings cannot
+# distinguish a regression from noise; interleaving whole passes (not
+# per-query repeats) keeps slow host phases from biasing any one
+# query, and ratio metrics (staged/prod) pair measurements WITHIN a
+# pass so host drift cancels.
+N_PASSES = 3
+
+# the operator suite, grouped by family so round-over-round deltas can
+# be attributed per family
+SUITE = [
+    # relational / window family
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "orders_cube",
+    "sessionize_events",
+    "sessionize_native_window",
+    "numwords_rules_classify",
+    "asof_last_click_before_purchase",
+    "range_join_nearby_events",
+    # dedup family
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    # similarity family
+    "embedding_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_trained_topk",
+    "dedup_embedding_lsh_pairs",
+    # textstats family
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "repetition_stats",
+    "top_terms",
+    "tfidf_top_terms",
+    "unigram_logprob_quality",
+]
+
+
 def run_bench() -> dict:
+    import statistics
+
     from boilerpipe_coffee_spark.operators import extract, extract_staged
     from boilerpipe_coffee_spark.plans import get_spark
     from boilerpipe_coffee_spark.sources import read_interleaved
@@ -92,24 +139,8 @@ def run_bench() -> dict:
     spark = get_spark("bpc-bench", master=f"local[{CPUS}]", extra_conf=_BENCH_CONF)
     corpus = _materialize_corpus(spark, sf, n_docs)
 
-    queries: dict[str, float] = {}
-
-    # headline: production extraction (scan -> mapInPandas -> count)
     docs = read_interleaved(spark, corpus)
-    _, warm = _timed(lambda: extract(docs, "ArticleExtractor").count())
-    n_out, headline = _timed(lambda: extract(docs, "ArticleExtractor").count())
-    queries["extract_article"] = round(headline, 3)
-    queries["extract_article_warmup"] = round(warm, 3)
 
-    _, t = _timed(lambda: extract(docs, "DefaultExtractor").count())
-    queries["extract_default"] = round(t, 3)
-
-    # warm once like the production path (python worker code paths, JIT)
-    _timed(lambda: extract_staged(docs, "ArticleExtractor").count())
-    _, t = _timed(lambda: extract_staged(docs, "ArticleExtractor").count())
-    queries["extract_article_staged"] = round(t, 3)
-
-    # operator suite on the driver tables
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -118,37 +149,47 @@ def run_bench() -> dict:
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
     qs = entry.queries()
-    for name in [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "orders_cube",
-        "sessionize_events",
-        "numwords_rules_classify",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_clusters",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
-        "embedding_cosine_topk",
-        "ann_lsh_buckets",
-        "ann_ivf_trained_topk",
-        "lang_id",
-        "quality_score",
-        "token_count",
-        "doc_fingerprint",
-        "repetition_stats",
-        "top_terms",
-        "asof_last_click_before_purchase",
-        "range_join_nearby_events",
-    ]:
-        _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
-        queries[name] = round(t, 3)
+
+    # warm pass (JIT, python workers, page cache) -- recorded, not used
+    n_out, warm = _timed(lambda: extract(docs, "ArticleExtractor").count())
+    extract_staged(docs, "ArticleExtractor").count()
+
+    samples: dict[str, list] = {}
+    ratios: list[float] = []
+    for _ in range(N_PASSES):
+        _, t_art = _timed(lambda: extract(docs, "ArticleExtractor").count())
+        samples.setdefault("extract_article", []).append(t_art)
+        _, t = _timed(lambda: extract(docs, "DefaultExtractor").count())
+        samples.setdefault("extract_default", []).append(t)
+        _, t_staged = _timed(
+            lambda: extract_staged(docs, "ArticleExtractor").count()
+        )
+        samples.setdefault("extract_article_staged", []).append(t_staged)
+        ratios.append(t_staged / t_art)  # paired within the pass
+        for name in SUITE:
+            _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
+            samples.setdefault(name, []).append(t)
+
+    queries = {
+        name: round(statistics.median(xs), 3) for name, xs in samples.items()
+    }
+    queries["extract_article_warmup"] = round(warm, 3)
+    headline = queries["extract_article"]
+
+    # staged-vs-prod fixed-overhead amortization: the staged path pays
+    # a constant extra-stage latency (shuffle + python worker spinup,
+    # ~2 s) that vanishes as corpus size grows; evidence with one 3x
+    # corpus measurement alongside the same-pass prod run
+    corpus3 = _materialize_corpus(spark, sf, n_docs * 3)
+    docs3 = read_interleaved(spark, corpus3)
+    extract(docs3, "ArticleExtractor").count()  # warm the bigger scan
+    _, p3 = _timed(lambda: extract(docs3, "ArticleExtractor").count())
+    _, s3 = _timed(lambda: extract_staged(docs3, "ArticleExtractor").count())
 
     spark.stop()
     return {
         "metric": "article_extract_wall_sec",
-        "value": round(headline, 3),
+        "value": headline,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
@@ -156,6 +197,13 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "docs_out": n_out,
         "cpus": CPUS,
+        "protocol": f"median of {N_PASSES} interleaved passes",
+        "samples": {
+            k: [round(x, 3) for x in samples[k]]
+            for k in ("extract_article", "extract_article_staged")
+        },
+        "staged_over_prod": round(statistics.median(ratios), 3),
+        "staged_over_prod_3x_docs": round(s3 / p3, 3),
     }
 
 

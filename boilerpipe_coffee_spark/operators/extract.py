@@ -225,7 +225,11 @@ def parse_blocks(df: DataFrame) -> DataFrame:
                         else:
                             sos.append(span_offsets[0] if span_offsets else 0)
                     c["doc_id"].extend([doc_id] * n)
-                    c["title"].extend([title] * n)
+                    # title crosses the bridge ONCE per doc (first block
+                    # row); the fusion tail takes the first non-null.
+                    # The sort key (doc_id, is_media, block_offset)
+                    # keeps the first block row first.
+                    c["title"].extend([title] + [None] * (n - 1))
                     c["is_media"].extend([False] * n)
                     c["block_offset"].extend(tb.offset_start for tb in tbs)
                     c["span_offset"].extend(sos)
@@ -256,7 +260,11 @@ def parse_blocks(df: DataFrame) -> DataFrame:
                 m = len(m_idx)
                 if m:
                     c["doc_id"].extend([doc_id] * m)
-                    c["title"].extend([title] * m)
+                    # media rows need the title only when there are no
+                    # block rows to carry it
+                    c["title"].extend(
+                        [title] * m if n == 0 else [None] * m
+                    )
                     c["is_media"].extend([True] * m)
                     for k in ("block_offset", "span_offset", "text",
                               "tag_level", "num_words", "num_words_anchor",
@@ -295,12 +303,25 @@ def parse_blocks(df: DataFrame) -> DataFrame:
 
 
 
-def extract_staged(df: DataFrame, extractor: str = ARTICLE) -> DataFrame:
-    """Operator-decomposed pipeline; output equals :func:`extract`."""
+def extract_staged(df: DataFrame, extractor: str = ARTICLE,
+                   n_partitions: int | None = None) -> DataFrame:
+    """Operator-decomposed pipeline; output equals :func:`extract`.
+
+    The ONE exchange is issued EXPLICITLY (repartition with a fixed
+    partition count) rather than left to the window stages: an
+    AQE-planned exchange coalesces the small demo shuffle down to a
+    handful of ~1MB partitions, which then caps the Python fusion
+    tail's parallelism at that handful of cores (measured 14/32 at
+    sf0.1 -- a 2x wall-time tax on the most expensive stage).  An
+    explicit numPartitions is exempt from AQE coalescing, and the
+    window stages' required hash distribution on doc_id is satisfied
+    by it, so no second exchange appears (plan-asserted)."""
     from . import columnar
     from .fusion import fuse_and_assemble
 
-    blocks = parse_blocks(df)
+    spark = df.sparkSession
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    blocks = parse_blocks(df).repartition(n_parts, "doc_id")
 
     has_window_stage = False
     if extractor == "ArticleExtractor":

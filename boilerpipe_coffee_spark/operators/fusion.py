@@ -19,6 +19,20 @@ exchange, ~20x less per-doc overhead.
 Inside a run we rebuild core TextBlocks and apply the verified core
 filters -- the same code the production path uses -- so quirk parity is
 structural, not re-derived.
+
+Measured cost anatomy (sf0.1, 20k docs / 294k block rows, local[32]):
+the staged path's residual gap vs production is the second bridge
+crossing of the block table, and it is Spark's ArrowEvalPython
+CELL-WRITE throughput, not python work: a TRIVIAL arrow passthrough
+(yield batch unchanged, zero python compute) inserted after the window
+stages costs ~the same as the real fusion tail, and to_pylist on top
+adds nothing measurable.  Per-row python overhead was already removed
+(column-wise access, no per-row tuples; title crosses once per doc).
+The remaining lever would be splitting text out of the feature stream
+and reassembling JVM-side -- a second exchange and a quirk-sensitive
+text-merge reimplementation for ~1s at demo scale; at production scale
+the staged path is not the deployment path (arrow_extract is), so the
+trade is declined and documented instead.
 """
 
 from __future__ import annotations
@@ -83,37 +97,43 @@ _COLS = [
 ]
 
 
-def _process_doc(doc_id, rows, tail_factory):
-    """rows: list of tuples in _COLS order, sorted blocks-then-media.
+def _process_doc(doc_id, cols, lo, hi, tail_factory):
+    """cols: per-column value lists (in _COLS order) for the whole
+    batch; [lo, hi) is this document's contiguous row run, sorted
+    blocks-then-media.  Column-wise access avoids materializing a tuple
+    per row on the Arrow->Python bridge (measured ~17% of tail time).
 
     Returns (title, [(kind, text, media_ref), ...], error) -- span
     orders are implicit by position."""
+    (c_doc, c_title, c_ismedia, c_boff, c_soff, c_text, c_tag, c_nw,
+     c_nwa, c_nww, c_nwl, c_kind, c_ref, c_moff, c_err, c_isc,
+     c_eot) = cols
     title = ""
     blocks = []
     media = []
-    for r in rows:
-        if r[14] is not None:  # error
-            return "", [], r[14]
-        if not title and r[1]:
-            title = r[1]
-        if r[2]:  # is_media
-            media.append((r[11], r[12], int(r[13])))
+    for i in range(lo, hi):
+        if c_err[i] is not None:
+            return "", [], c_err[i]
+        if not title and c_title[i]:
+            title = c_title[i]
+        if c_ismedia[i]:
+            media.append((c_kind[i], c_ref[i], int(c_moff[i])))
             continue
-        if r[11] == "empty":  # zero-block placeholder row
+        if c_kind[i] == "empty":  # zero-block placeholder row
             continue
         tb = TextBlock(
-            r[5],
+            c_text[i],
             None,
-            int(r[6]),
-            int(r[7]),
-            int(r[8]),
-            int(r[9]),
-            int(r[10]),
-            int(r[3]),
-            src_pos=int(r[4]),  # src_pos doubles as owning span offset
+            int(c_tag[i]),
+            int(c_nw[i]),
+            int(c_nwa[i]),
+            int(c_nww[i]),
+            int(c_nwl[i]),
+            int(c_boff[i]),
+            src_pos=int(c_soff[i]),  # src_pos doubles as owning span offset
         )
-        tb.is_content = bool(r[15]) if r[15] is not None else False
-        if r[16]:
+        tb.is_content = bool(c_isc[i]) if c_isc[i] is not None else False
+        if c_eot[i]:
             tb.add_label(END_OF_TEXT)
         blocks.append(tb)
 
@@ -154,9 +174,11 @@ _PA_OUT = pa.schema(
 
 def fuse_and_assemble(blocks: DataFrame, extractor: str,
                       ensure_layout: bool = False) -> DataFrame:
-    """blocks must arrive hash-partitioned by doc_id and sorted
-    (doc_id, is_media, block_offset) -- the window stages guarantee it;
-    pass ensure_layout=True when no window stage ran.
+    """blocks must arrive hash-partitioned by doc_id (extract_staged
+    issues the explicit repartition) and sorted (doc_id, is_media,
+    block_offset) -- the window stages guarantee the sort; pass
+    ensure_layout=True when no window stage ran (adds only the
+    within-partition sort, NOT a second exchange).
 
     mapInArrow: rows cross the bridge as flat column lists and the
     output span column is assembled as Arrow list/struct arrays
@@ -164,24 +186,29 @@ def fuse_and_assemble(blocks: DataFrame, extractor: str,
     tail_factory = _TAILS.get(extractor, _TAILS["DefaultExtractor"])
 
     if ensure_layout:
-        blocks = blocks.repartition("doc_id").sortWithinPartitions(
+        blocks = blocks.sortWithinPartitions(
             "doc_id", "is_media", "block_offset"
         )
 
     proj = blocks.select(*_COLS)
 
+    n_cols = len(_COLS)
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         carry_id = None
-        carry_rows: list = []
+        carry_cols: list = []
 
-        def flush(doc_rows_by_id):
-            if not doc_rows_by_id:
+        def flush(docs):
+            """docs: list of (doc_id, cols, lo, hi) -- column views, no
+            per-row tuples."""
+            if not docs:
                 return None
             doc_ids, titles, errors = [], [], []
             flat_k, flat_t, flat_r, flat_o = [], [], [], []
             offsets = [0]
-            for d, rows in doc_rows_by_id:
-                title, spans, err = _process_doc(d, rows, tail_factory)
+            for d, dcols, lo, hi in docs:
+                title, spans, err = _process_doc(d, dcols, lo, hi,
+                                                 tail_factory)
                 doc_ids.append(d)
                 titles.append(title)
                 errors.append(err)
@@ -218,29 +245,35 @@ def fuse_and_assemble(blocks: DataFrame, extractor: str,
                 continue
             cols = [batch.column(name).to_pylist() for name in _COLS]
             ids = cols[0]
-            rows = list(zip(*cols))
-            runs: list = []
-            start = 0
-            for i in range(1, len(rows)):
-                if ids[i] != ids[i - 1]:
-                    runs.append((ids[start], rows[start:i]))
-                    start = i
-            runs.append((ids[start], rows[start:]))
+            n = len(ids)
+            bounds = [0]
+            bounds += [i for i in range(1, n) if ids[i] != ids[i - 1]]
+            bounds.append(n)
             done: list = []
-            for rid, rrows in runs:
-                if carry_id is not None and rid == carry_id:
-                    carry_rows.extend(rrows)
-                    continue
-                if carry_id is not None:
-                    done.append((carry_id, carry_rows))
-                carry_id, carry_rows = rid, list(rrows)
-            # carry always holds the last run seen; it may continue in
-            # the next batch
+            start_k = 0
+            if carry_id is not None:
+                if ids[0] == carry_id:
+                    # first run continues the carried doc
+                    hi0 = bounds[1]
+                    for j in range(n_cols):
+                        carry_cols[j].extend(cols[j][:hi0])
+                    start_k = 1
+                    if start_k == len(bounds) - 1:
+                        continue  # whole batch was one run; keep carrying
+                done.append((carry_id, carry_cols, 0, len(carry_cols[0])))
+                carry_id = None
+            # middle runs flush as views into the batch columns; the
+            # LAST run may straddle into the next batch -> it carries
+            for k in range(start_k, len(bounds) - 2):
+                done.append((ids[bounds[k]], cols, bounds[k], bounds[k + 1]))
+            lo = bounds[-2]
+            carry_id = ids[lo]
+            carry_cols = [c[lo:] for c in cols]
             out = flush(done)
             if out is not None:
                 yield out
         if carry_id is not None:
-            out = flush([(carry_id, carry_rows)])
+            out = flush([(carry_id, carry_cols, 0, len(carry_cols[0]))])
             if out is not None:
                 yield out
 
