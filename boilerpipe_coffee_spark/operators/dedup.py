@@ -161,13 +161,16 @@ ORDER BY doc_a, doc_b
 # ------------------------------------------------------------------ #
 
 
-def _minhash_pairs(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
-    """Distinct (doc_a < doc_b) candidate pairs, UNSORTED -- consumers
-    that don't need presentation order (cluster resolution) use this
-    directly and skip the global sort."""
+def minhash_candidate_pairs(
+    docs: DataFrame, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) candidate pairs over ANY (doc_id,
+    text) frame, UNSORTED -- consumers that don't need presentation
+    order (cluster resolution, the pipeline job's near-dup stage) use
+    this directly and skip the global sort."""
     from pyspark.sql import Window
 
-    stacked = _minhash_bands(spark, sf_dir)
+    stacked = minhash_bands_df(docs)
     # bucket size via a window on band_key: ONE shuffle, and the
     # resulting hash partitioning is exactly what the band self-join
     # needs, so the join adds no further exchange
@@ -186,6 +189,12 @@ def _minhash_pairs(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def _minhash_pairs(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
+    return minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), bucket_cap
     )
 
 
@@ -208,12 +217,13 @@ def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     )
 
 
-def _minhash_bands(spark, sf_dir):
-    """(doc_id, band_key) rows: 8 minhash signatures in 4 bands of 2."""
+def minhash_bands_df(docs_in: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band_key) rows: 8 minhash signatures
+    in 4 bands of 2."""
     # stage the token/shingle arrays through selects so Catalyst
     # computes each once instead of re-evaluating the nested expr
     docs = (
-        _t(spark, sf_dir, "documents")
+        docs_in
         .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .select(
             "doc_id",
@@ -253,7 +263,9 @@ def _minhash_bands(spark, sf_dir):
 def minhash_band_stats(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     """Monitoring companion to the skew guard: bucket-size histogram
     plus how many buckets/docs the cap would drop."""
-    counts = _minhash_bands(spark, sf_dir).groupBy("band_key").agg(
+    counts = minhash_bands_df(
+        _t(spark, sf_dir, "documents")
+    ).groupBy("band_key").agg(
         F.count("*").alias("bucket_n")
     )
     return counts.agg(
@@ -543,26 +555,22 @@ def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     return labels.unionByName(mins)
 
 
-def dedup_clusters(spark, sf_dir, max_iters: int = 20):
-    """(doc_id, cluster_id, keep) for every document: connected
-    components over the MinHash-LSH candidate pairs, cluster_id = the
-    lexicographic min doc_id of the component, keep = is-canonical.
-    Singletons keep themselves.
+def resolve_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected-component labels (doc_id, cluster_id) for every node
+    touched by a candidate pair, cluster_id = component min.
 
     Algorithm: iterative min-label propagation over ONLY the nodes
     that appear in candidate pairs -- singletons can never change label,
     so the iterated table is edge-sized, not corpus-sized (at 10^12
     docs with a ~1% near-dup rate that is a 100x smaller shuffle per
-    round); the full corpus joins back once at the end with
-    cluster_id = doc_id for untouched docs.  Rounds = component
-    diameter; duplicate clusters are shallow (near-clique), so this
-    converges in 2-3 rounds.  ``localCheckpoint`` truncates the
-    growing plan per round.  If a long-chain corpus exhausts
-    ``max_iters`` (diameter > rounds), the run FALLS BACK to
-    :func:`_star_components` -- alternating large-star/small-star,
-    O(log^2 n) rounds independent of diameter -- instead of raising,
-    so pathological chains cost extra rounds, never a wrong answer."""
-    pairs = _minhash_pairs(spark, sf_dir)  # unsorted: no global sort paid
+    round).  Rounds = component diameter; duplicate clusters are
+    shallow (near-clique), so this converges in 2-3 rounds.
+    ``localCheckpoint`` truncates the growing plan per round.  If a
+    long-chain graph exhausts ``max_iters`` (diameter > rounds), the
+    run FALLS BACK to :func:`_star_components` -- alternating
+    large-star/small-star, O(log^2 n) rounds independent of diameter --
+    instead of raising, so pathological chains cost extra rounds,
+    never a wrong answer."""
     edges = (
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -613,6 +621,19 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
         # exact recursive-CTE oracle undetectably; a slower correct
         # path is the right degradation)
         labels = _star_components(pairs)
+    return labels
+
+
+def dedup_clusters(spark, sf_dir, max_iters: int = 20):
+    """(doc_id, cluster_id, keep) for every document: connected
+    components (:func:`resolve_components`) over the MinHash-LSH
+    candidate pairs, cluster_id = the lexicographic min doc_id of the
+    component, keep = is-canonical.  Singletons keep themselves (the
+    full corpus joins back once at the end with cluster_id = doc_id
+    for untouched docs)."""
+    # unsorted pairs: no global sort paid
+    pairs = _minhash_pairs(spark, sf_dir)
+    labels = resolve_components(pairs, max_iters)
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return (
         docs.join(labels, "doc_id", "left")

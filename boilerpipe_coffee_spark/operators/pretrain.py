@@ -73,3 +73,43 @@ def content_features(
         .withColumn("passes_gates", gates)
         .withColumn("keep", F.col("is_canonical") & F.col("passes_gates"))
     )
+
+
+def near_dup_keep(
+    features: DataFrame, bucket_cap: int = 64, max_iters: int = 20
+) -> DataFrame:
+    """The NEAR-dup stage of the production dedup hierarchy, run on
+    the survivors of the exact pass: exact dedup (hash groupBy,
+    linear, handles floods) -> MinHash-LSH candidate pairs (banded,
+    bucket-capped, linear) -> connected components (edge-sized
+    min-label propagation, star fallback) -> one keeper per cluster.
+
+    Input: :func:`content_features` output.  Only ``keep`` rows
+    (exact-canonical AND gate-passing) enter the LSH stage -- running
+    near-dup on the exact-deduped corpus is both the cheaper and the
+    semantically right order (exact copies are already collapsed, so
+    clusters are genuine near-duplicates).  Output adds:
+
+    - ``cluster_id``: near-dup component id (min doc_id; singleton =
+      own id; null for rows that never entered the stage),
+    - ``keep_final``: ``keep`` AND this doc is its cluster's keeper
+      (min doc_id -- deterministic).
+    """
+    from .dedup import minhash_candidate_pairs, resolve_components
+
+    survivors = features.filter(F.col("keep")).select("doc_id", "text")
+    pairs = minhash_candidate_pairs(survivors, bucket_cap)
+    labels = resolve_components(pairs, max_iters)
+    return (
+        features.join(labels, "doc_id", "left")
+        .withColumn(
+            "cluster_id",
+            F.when(
+                F.col("keep"), F.coalesce("cluster_id", "doc_id")
+            ),  # null for docs that never entered the near-dup stage
+        )
+        .withColumn(
+            "keep_final",
+            F.col("keep") & (F.col("cluster_id") == F.col("doc_id")),
+        )
+    )

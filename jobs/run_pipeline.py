@@ -14,10 +14,13 @@ Stages (the composition a pretraining corpus build runs):
    fraction (repetition gate), md5 content hash: pure columnar over
    the extracted table.
 3. KEEP-SET  -- exact-dedup keep flag (first doc_id per content hash)
-   plus quality gates (>= 30 tokens, dup_bigram_frac <= 0.9)
-   -> <out>/training/ parquet.
+   plus quality gates (>= 30 tokens, dup_bigram_frac <= 0.9).
+4. NEAR-DUP  -- the production dedup hierarchy's second rung over the
+   stage-3 survivors: MinHash-LSH candidate pairs (banded, bucket-
+   capped) -> connected components -> one keeper per near-dup cluster
+   (--no-near-dup to skip) -> <out>/training/ parquet.
 
-Stage 1 resumes from its commit markers on restart; stages 2-3 are a
+Stage 1 resumes from its commit markers on restart; stages 2-4 are a
 deterministic function of stage 1's output and rerun idempotently
 (overwrite).  Prints ONE JSON line with the stage counts.
 """
@@ -41,6 +44,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--min-tokens", type=int, default=30)
     ap.add_argument("--max-dup-bigram", type=float, default=0.9)
+    ap.add_argument("--no-near-dup", action="store_true",
+                    help="stop at exact dedup (skip stage 4)")
     args = ap.parse_args()
     if not args.synth and not args.input:
         ap.error("one of --input or --synth is required")
@@ -52,7 +57,10 @@ def main() -> None:
     )
 
     from boilerpipe_coffee_spark.operators.pipeline import run_partitioned
-    from boilerpipe_coffee_spark.operators.pretrain import content_features
+    from boilerpipe_coffee_spark.operators.pretrain import (
+        content_features,
+        near_dup_keep,
+    )
     from boilerpipe_coffee_spark.sources import (
         read_interleaved,
         synth_interleaved,
@@ -72,15 +80,24 @@ def main() -> None:
     # stages 2-3: the SHARED feature/gate operator (same code the
     # driver-contract pretrain_pipeline query runs), keep-set filter
     extracted = spark.read.parquet(os.path.join(extract_dir, "data"))
-    training = (
-        content_features(
-            extracted,
-            min_tokens=args.min_tokens,
-            max_dup_bigram=args.max_dup_bigram,
-        )
-        .filter(F.col("keep"))
-        .drop("is_canonical", "passes_gates", "keep")
+    features = content_features(
+        extracted,
+        min_tokens=args.min_tokens,
+        max_dup_bigram=args.max_dup_bigram,
     )
+
+    # stage 4: near-dup keepers over the exact-dedup survivors
+    if args.no_near_dup:
+        training = features.filter(F.col("keep")).drop(
+            "is_canonical", "passes_gates", "keep"
+        )
+        exact_kept = None
+    else:
+        featured = near_dup_keep(features)
+        exact_kept = featured.filter(F.col("keep")).count()
+        training = featured.filter(F.col("keep_final")).drop(
+            "is_canonical", "passes_gates", "keep", "keep_final"
+        )
     training_dir = os.path.join(args.output, "training")
     training.write.mode("overwrite").parquet(training_dir)
 
@@ -89,17 +106,17 @@ def main() -> None:
         F.count("*").alias("n"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("q"),
     ).collect()[0]
-    print(
-        json.dumps(
-            {
-                "buckets_run": s1["buckets_run"],
-                "buckets_skipped": s1["buckets_skipped"],
-                "extracted": int(totals.n),
-                "quarantined": int(totals.q or 0),
-                "kept": kept,
-            }
-        )
-    )
+    summary = {
+        "buckets_run": s1["buckets_run"],
+        "buckets_skipped": s1["buckets_skipped"],
+        "extracted": int(totals.n),
+        "quarantined": int(totals.q or 0),
+        "kept": kept,
+    }
+    if exact_kept is not None:
+        summary["exact_kept"] = exact_kept
+        summary["near_dup_dropped"] = exact_kept - kept
+    print(json.dumps(summary))
     spark.stop()
 
 
