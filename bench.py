@@ -223,7 +223,7 @@ def run_extract_only(master: str, n_docs: int, corpus: str) -> dict:
             "docs_per_sec": round(n_docs / wall, 1)}
 
 
-def run_scaling(n_docs: int, cores_pair=(8, 32)) -> dict:
+def run_scaling(n_docs: int, cores_pair=(8, 32), cooldown: int = 0) -> dict:
     """Same job, same input, local[8] vs local[32] (the sandbox stand-in
     for N vs 4N executors)."""
     sf = _sf_from_dir(SF_DIR)
@@ -234,11 +234,18 @@ def run_scaling(n_docs: int, cores_pair=(8, 32)) -> dict:
     spark.stop()
 
     # the sandbox shows large run-to-run variance (turbo/thermal/
-    # neighbors), so interleave 3 runs per core count and use medians
+    # neighbors), so interleave 3 runs per core count and use medians.
+    # --cooldown N sleeps between samples: sustained back-to-back
+    # samples visibly throttle this host (observed 74% swing between
+    # adjacent local[8] samples), which deflates the hi-core side of
+    # the ratio; a thermal soak pause measures the steady state
+    # instead of the throttle transient.
     lo, hi = cores_pair
     samples: dict[str, list] = {f"local[{lo}]": [], f"local[{hi}]": []}
     for _ in range(3):
         for cores in cores_pair:
+            if cooldown:
+                time.sleep(cooldown)
             out = subprocess.run(
                 [
                     sys.executable,
@@ -288,6 +295,8 @@ if __name__ == "__main__":
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--cores", default="8,32",
                     help="N,4N core counts for --scaling")
+    ap.add_argument("--cooldown", type=int, default=0,
+                    help="seconds of thermal soak between scaling samples")
     args = ap.parse_args()
 
     if args.extract_only:
@@ -296,6 +305,7 @@ if __name__ == "__main__":
         # 3x the headline size so per-run wall time amortizes fixed
         # startup (JIT, python worker fork) at both core counts
         cores_pair = tuple(int(c) for c in args.cores.split(","))
-        print(json.dumps(run_scaling(args.docs * 3, cores_pair)))
+        print(json.dumps(run_scaling(args.docs * 3, cores_pair,
+                                     cooldown=args.cooldown)))
     else:
         print(json.dumps(run_bench()))
