@@ -124,6 +124,8 @@ SUITE = [
     "top_terms",
     "tfidf_top_terms",
     "unigram_logprob_quality",
+    "contamination_check",
+    "packing_stats",
 ]
 
 

@@ -438,7 +438,136 @@ SELECT doc_id, rank, term, tfidf FROM (
 """
 
 
+N_EVAL_DOCS = 5  # doc_id < 5 act as the held-out benchmark set
+CONTAM_K = 8  # shingle width for contamination matching
+
+
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination screen: fraction of each document's
+    distinct word-8-grams that appear in the held-out eval set
+    (doc_id < 5 stands in for a benchmark suite).  The standard
+    pretraining decontamination operator -- docs overlapping the eval
+    set must be dropped before training, and the eval docs themselves
+    score 1.0.
+
+    Scale shape: the eval-shingle table is small BY CONSTRUCTION
+    (benchmark suites are a few MB, not corpus-sized), so the
+    broadcast hint is correct here -- unlike a corpus vocabulary.  The
+    corpus side is one explode + broadcast-join + per-doc count: one
+    linear pass, no corpus-keyed shuffle except the doc_id groupBy."""
+    from ..functions import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = F.array_distinct(F.expr(shingles(CONTAM_K)))
+    base = docs.select("doc_id", sh.alias("sh")).select(
+        "doc_id", "sh", F.size("sh").alias("n_shingles")
+    )
+    evals = (
+        base.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    ex = base.select("doc_id", F.explode("sh").alias("shingle"))
+    hits = (
+        ex.join(F.broadcast(evals), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated"))
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            F.round(
+                F.coalesce("contaminated", F.lit(0))
+                / F.greatest("n_shingles", F.lit(1)),
+                4,
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _contamination_sql() -> str:
+    from ..functions import shingles_duck
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({shingles_duck(CONTAM_K)}) AS sh
+  FROM documents
+), sized AS (
+  SELECT doc_id, sh, len(sh) AS n_shingles FROM base
+), evals AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM base
+  WHERE doc_id < {N_EVAL_DOCS}
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM base
+), hits AS (
+  SELECT doc_id, count(*) AS contaminated
+  FROM ex JOIN evals USING (shingle) GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(h.contaminated, 0)::BIGINT AS contaminated,
+       round(coalesce(h.contaminated, 0) / greatest(s.n_shingles, 1), 4)
+         AS contamination_frac
+FROM sized s LEFT JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+"""
+
+
+CONTAMINATION_SQL = _contamination_sql()
+
+CONTEXT_LEN = 2048
+
+
+def packing_stats(spark, sf_dir):
+    """Sequence-packing planning stats per source: how many
+    CONTEXT_LEN-token training sequences the corpus yields under
+    naive one-doc-per-chunk packing, and the padding waste -- the
+    numbers a pretraining data planner reads before choosing a packing
+    strategy.  Pure map-side arithmetic + one small groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.expr(_TOKENS))
+    chunks = F.ceil(n_tok / F.lit(float(CONTEXT_LEN))).cast("bigint")
+    per_doc = docs.select(
+        "source", n_tok.alias("n_tokens"), chunks.alias("chunks")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("chunks").alias("total_chunks"),
+            F.round(
+                1
+                - F.sum("n_tokens")
+                / (F.sum("chunks") * F.lit(CONTEXT_LEN)).cast("double"),
+                4,
+            ).alias("padding_waste_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+PACKING_SQL = f"""
+WITH d AS (
+  SELECT source, len({_TOKENS_DUCK}) AS n_tokens,
+         ceil(len({_TOKENS_DUCK}) / {CONTEXT_LEN}.0)::BIGINT AS chunks
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(chunks)::BIGINT AS total_chunks,
+       round(1 - sum(n_tokens) / (sum(chunks) * {CONTEXT_LEN})::DOUBLE, 4)
+         AS padding_waste_frac
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "contamination_check": contamination_check,
+    "packing_stats": packing_stats,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
     "unigram_logprob_quality": unigram_logprob_quality,
@@ -450,6 +579,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "contamination_check": CONTAMINATION_SQL,
+    "packing_stats": PACKING_SQL,
     "top_terms": TOP_TERMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,

@@ -243,3 +243,20 @@ def test_canola_extractor_quarantines_every_doc(spark):
     rows = extract(docs, "CanolaExtractor").collect()
     assert len(rows) == 30
     assert all(r.error == "reference_throw" and not r.spans for r in rows)
+
+
+def test_done_buckets_missing_vs_corrupt(spark, tmp_path):
+    """Resume-set reads: a MISSING metrics dir means 'nothing
+    committed' (empty set); any other read failure must RAISE, not be
+    masked as an empty set (which would silently re-run everything
+    over a corrupt commit layout)."""
+    import pytest
+
+    from boilerpipe_coffee_spark.operators.pipeline import _done_buckets
+
+    assert _done_buckets(spark, str(tmp_path / "nope" / "metrics")) == set()
+    bad = tmp_path / "metrics"
+    bad.mkdir()
+    (bad / "garbage.parquet").write_text("not parquet at all")
+    with pytest.raises(Exception):
+        _done_buckets(spark, str(bad))
