@@ -217,32 +217,69 @@ def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     )
 
 
+def minhash_sigs_df(docs_in: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, mh0..mh7): the 8 minhash signatures,
+    computed in ONE map-side Arrow pass.
+
+    Why not the declarative form (tokenize/shingle HOFs + explode +
+    8-min groupBy)?  Measured at sf0.1: the Catalyst higher-order
+    functions (split/transform/slice/concat_ws/array_distinct) are
+    interpreted per element -- the skeleton costs ~4 s even with the
+    hashing replaced by min(length(s)), i.e. the HOFs dominate, and
+    the exploded shingle STRINGS then shuffle to the aggregate.  This
+    pass emits one 8-int row per document: no shingle materialization
+    JVM-side, no corpus-sized string shuffle, and the signature stage
+    becomes embarrassingly parallel.  Values are bit-identical to the
+    DuckDB oracle CTEs (md5 hex prefix -> int64; exact integer affine
+    mins; tokenizer is the shared ASCII [^a-z0-9]+ class, same as
+    TOKENS/TOKENS_DUCK)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    coeff_a = np.array([a for a, _ in _MINHASH_AB], dtype=np.int64)[:, None]
+    coeff_b = np.array([b for _, b in _MINHASH_AB], dtype=np.int64)[:, None]
+    tok_re = re.compile(r"[^a-z0-9]+")
+    n_sig = len(_MINHASH_AB)
+
+    def sig_fn(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                if len(toks) < 3:
+                    continue
+                shingles = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                # a*h+b < 2^45: exact in int64, identical to JVM pmod
+                sigs.append(((coeff_a * hs + coeff_b) % _P).min(axis=1))
+                ids.append(doc_id)
+            out = {"doc_id": ids}
+            for i in range(n_sig):
+                out[f"mh{i}"] = [s[i] for s in sigs]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id " + (
+        "string" if dict(docs_in.dtypes)["doc_id"] == "string" else "bigint"
+    ) + "".join(f", mh{i} bigint" for i in range(n_sig))
+    return docs_in.select("doc_id", "text").mapInPandas(sig_fn, schema)
+
+
 def minhash_bands_df(docs_in: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, band_key) rows: 8 minhash signatures
     in 4 bands of 2."""
-    # stage the token/shingle arrays through selects so Catalyst
-    # computes each once instead of re-evaluating the nested expr
-    docs = (
-        docs_in
-        .select("doc_id", F.expr(_TOKENS).alias("toks"))
-        .select(
-            "doc_id",
-            F.expr(
-                "CASE WHEN size(toks) >= 3 THEN "
-                "transform(sequence(1, size(toks) - 2), "
-                "i -> concat_ws(' ', slice(toks, i, 3))) "
-                "ELSE array() END"
-            ).alias("shingles"),
-        )
-        .filter(F.size("shingles") > 0)
-    )
-    ex = docs.select("doc_id", F.explode(F.array_distinct("shingles")).alias("sh"))
-    h = F.pmod(_h64(F.col("sh")), F.lit(_P))
-    aggs = [
-        F.min(F.pmod(a * h + b, F.lit(_P))).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MINHASH_AB)
-    ]
-    sig = ex.groupBy("doc_id").agg(*aggs)
+    sig = minhash_sigs_df(docs_in)
     bands = sig.select(
         "doc_id",
         *[
@@ -344,27 +381,55 @@ FROM bc
 # ------------------------------------------------------------------ #
 
 
+def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): 32-bit SimHash over the
+    distinct token set, one map-side Arrow pass (same rationale as
+    :func:`minhash_sigs_df` -- the declarative form pays interpreted
+    tokenizer HOFs plus a 32-conditional-sum shuffle of exploded token
+    strings; this emits one int per doc, bit-identical to the oracle:
+    md5 hex prefix % 2^32, +/-1 bit votes, sign recompose)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    powers = (np.int64(1) << np.arange(32, dtype=np.int64))
+
+    def sig_fn(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = {t for t in tok_re.split((text or "").lower()) if t}
+                if not toks:
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                        % 4294967296
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> np.arange(32)) & 1  # (n, 32)
+                votes = (2 * bits - 1).sum(axis=0)  # +1/-1 per bit
+                ids.append(doc_id)
+                sigs.append(int(powers[votes > 0].sum()))
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
+    schema = "doc_id " + (
+        "string" if dict(docs_in.dtypes)["doc_id"] == "string" else "bigint"
+    ) + ", simhash bigint"
+    return docs_in.select("doc_id", "text").mapInPandas(sig_fn, schema)
+
+
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash over the distinct token set."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(f"array_distinct({_TOKENS})").alias("tokens")
-    ).filter(F.size("tokens") > 0)
-    ex = docs.select("doc_id", F.explode("tokens").alias("tok"))
-    h = F.pmod(_h64(F.col("tok")), F.lit(4294967296))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    sums = ex.groupBy("doc_id").agg(*bit_aggs)
-    simhash = None
-    for b in range(32):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return sums.select(
-        "doc_id", simhash.cast("bigint").alias("simhash")
-    ).orderBy("doc_id")
+    return simhash_sigs_df(_t(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
 
 
 def _simhash_ctes() -> str:
