@@ -547,10 +547,110 @@ def streaming_sessionize(spark, sf_dir, poll_timeout: float = 120.0):
     )
 
 
+# ------------------------------------------------------------------ #
+# stream-stream join: clicks within the hour before each purchase      #
+# ------------------------------------------------------------------ #
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame, purchases: DataFrame, watermark_delay: str
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join -- the fourth stateful
+    streaming shape (after windowed aggs, arbitrary state, session
+    windows): each purchase joins every click by the same user in the
+    hour before it.  Both sides carry watermarks and the join
+    condition carries the time bound, which is what lets Spark evict
+    buffered state (a click older than max-watermark - 1h can never
+    match a future purchase); inner-join rows emit as soon as both
+    sides have arrived, so the drained result equals the batch join
+    exactly."""
+    c = (
+        clicks.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark_delay)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "user_id = c_user AND "
+            "c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        F.unix_timestamp("c_ts").alias("click_epoch"),
+        F.round("p_value", 4).alias("purchase_value"),
+    )
+
+
+def streaming_click_purchase_join(spark, sf_dir):
+    """Events replayed as TWO independent file streams (clicks side,
+    purchases side) through the watermarked stream-stream join;
+    availableNow drains the backlog.  Inner-join rows need no
+    sentinel: they emit when both inputs have arrived, so the drained
+    sink equals the batch/DuckDB join."""
+    drops, out, ckpt = _work_dirs("ssjoin", sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.repartition(6).write.parquet(drops)
+
+    def side(kind):
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(drops)
+            .filter(F.col("event_type") == kind)
+        )
+
+    with _scoped_conf(spark, _STREAM_CONFS):
+        run_available_now(
+            click_purchase_join_stream(
+                side("click"), side("purchase"), watermark_delay="40 days"
+            ),
+            out,
+            ckpt,
+        )
+    return spark.read.parquet(out).orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+STREAMING_SS_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       floor(epoch(p.ts))::BIGINT AS purchase_epoch,
+       floor(epoch(c.ts))::BIGINT AS click_epoch,
+       round(p.value, 4) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+ORDER BY p.user_id, purchase_id, click_id
+"""
+
+
 QUERIES = {
     "streaming_windowed_event_counts": streaming_windowed_event_counts,
     "streaming_dedup_first_seen": streaming_dedup_first_seen,
     "streaming_sessionize": streaming_sessionize,
+    "streaming_click_purchase_join": streaming_click_purchase_join,
 }
 
 # the batch window-based sessionization oracle IS the streaming
@@ -561,4 +661,5 @@ ORACLES = {
     "streaming_windowed_event_counts": STREAMING_WINDOWED_SQL,
     "streaming_dedup_first_seen": STREAMING_DEDUP_SQL,
     "streaming_sessionize": _SESSIONIZE_SQL,
+    "streaming_click_purchase_join": STREAMING_SS_JOIN_SQL,
 }
