@@ -28,6 +28,41 @@ from test_dedup_guard import _write_documents
 CHAIN_LEN = 30  # diameter 29 > max_iters 20
 
 
+def test_star_components_random_graph_vs_union_find(spark):
+    """Seeded random graph (mixed chains, cliques, singleton-adjacent
+    edges): star-components labels must equal a plain python
+    union-find's component minima."""
+    rng = random.Random(99)
+    nodes = list(range(0, 400))
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(250)
+        )
+        if a != b
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(
+        sorted(edges), "doc_a bigint, doc_b bigint"
+    )
+    got = {r.doc_id: r.cluster_id for r in _star_components(df).collect()}
+    assert got == want
+
+
 def test_star_components_labels_min(spark):
     edges = []
     edges += [(i, i + 1) for i in range(100, 150)]          # 51-chain
