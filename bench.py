@@ -178,10 +178,11 @@ def run_bench() -> dict:
     queries["extract_article_warmup"] = round(warm, 3)
     headline = queries["extract_article"]
 
-    # staged-vs-prod fixed-overhead amortization: the staged path pays
-    # a constant extra-stage latency (shuffle + python worker spinup,
-    # ~2 s) that vanishes as corpus size grows; evidence with one 3x
-    # corpus measurement alongside the same-pass prod run
+    # staged-vs-prod at 3x corpus: single-shot probe of how the ratio
+    # moves with size.  Measured finding: it does NOT amortize -- the
+    # staged overhead is dominated by the Arrow bridge's per-cell
+    # writes (proportional to block rows), not fixed latency; see
+    # operators/fusion.py for the passthrough experiment
     corpus3 = _materialize_corpus(spark, sf, n_docs * 3)
     docs3 = read_interleaved(spark, corpus3)
     extract(docs3, "ArticleExtractor").count()  # warm the bigger scan
