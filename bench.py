@@ -126,6 +126,7 @@ SUITE = [
     "unigram_logprob_quality",
     "contamination_check",
     "packing_stats",
+    "quality_histogram_quantiles",
 ]
 
 

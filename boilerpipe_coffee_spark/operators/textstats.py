@@ -565,7 +565,84 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
+N_QBINS = 1000
+
+
+def quality_histogram_quantiles(spark, sf_dir):
+    """Distributed quantile thresholds of the quality score via a
+    MERGEABLE fixed-bin histogram sketch -- the pattern a production
+    pipeline uses to pick 'drop the bottom X%' cutoffs without a
+    global sort: per-partition bin counts (map-side combinable,
+    shuffle is <= N_QBINS keys regardless of corpus size), then the
+    quantile is the smallest bin whose cumulative count reaches q*N.
+
+    Determinism: bins come from the 4-dp-rounded quality as INTEGER
+    arithmetic (round(q*10000) DIV 10), so no float bin-edge can
+    straddle engines.  The cumulative step is a self-join over the
+    <=1000-row histogram (bounded; avoids a global window), the
+    thresholds one conditional aggregate.  Like approx_distinct_kmv,
+    this is an approximate aggregate that still passes an EXACT
+    cross-engine gate because the sketch itself is deterministic."""
+    q = quality_score(spark, sf_dir).select("quality")
+    bins = q.select(
+        F.expr("CAST(round(quality * 10000) AS BIGINT) DIV 10").alias("bin")
+    )
+    hist = bins.groupBy("bin").agg(F.count("*").alias("n"))
+    a = hist.alias("a")
+    b = hist.alias("b")
+    cum = (
+        a.join(b, F.col("b.bin") <= F.col("a.bin"))
+        .groupBy(F.col("a.bin").alias("bin"))
+        .agg(F.sum("b.n").alias("cum"))
+    )
+    total = hist.agg(F.sum("n").alias("n_docs"))
+    scored = cum.crossJoin(F.broadcast(total))
+    aggs = [F.max("n_docs").alias("n_docs")]
+    for qq in QUANTILE_QS:
+        aggs.append(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.col("n_docs") * qq),
+                        F.col("bin"),
+                    )
+                )
+                / F.lit(float(N_QBINS)),
+                3,
+            ).alias(f"p{int(qq * 100)}")
+        )
+    return scored.agg(*aggs)
+
+
+def _quality_quantiles_sql() -> str:
+    sel = ", ".join(
+        f"round(min(CASE WHEN cum >= ceil(n_docs * {qq}) THEN bin END)"
+        f" / {N_QBINS}.0, 3) AS p{int(qq * 100)}"
+        for qq in QUANTILE_QS
+    )
+    return f"""
+WITH q AS ({QUALITY_SQL.replace('ORDER BY doc_id', '')}),
+b AS (
+  SELECT (round(quality * 10000)::BIGINT // 10) AS bin FROM q
+), hist AS (
+  SELECT bin, count(*) AS n FROM b GROUP BY bin
+), cum AS (
+  SELECT bin, sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), tot AS (
+  SELECT sum(n)::BIGINT AS n_docs FROM hist
+)
+SELECT max(n_docs)::BIGINT AS n_docs, {sel}
+FROM cum, tot
+"""
+
+
+QUALITY_QUANTILES_SQL = _quality_quantiles_sql()
+
+
 QUERIES = {
+    "quality_histogram_quantiles": quality_histogram_quantiles,
     "contamination_check": contamination_check,
     "packing_stats": packing_stats,
     "top_terms": top_terms,
@@ -579,6 +656,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_histogram_quantiles": QUALITY_QUANTILES_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "packing_stats": PACKING_SQL,
     "top_terms": TOP_TERMS_SQL,
