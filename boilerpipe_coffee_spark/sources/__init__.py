@@ -78,6 +78,19 @@ def read_interleaved(spark: SparkSession, source: str) -> DataFrame:
     return df.select("doc_id", "spans")
 
 
+def read_interleaved_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Interleaved documents from JSONL (optionally .gz) -- the
+    format the golden corpora and tools/oracle.js exchange
+    (``{"doc_id": ..., "spans": [{kind,text,media_ref,offset}, ...]}``
+    per line).  An explicit schema keeps the reader single-pass (no
+    inference scan) and coerces types to INTERLEAVED_SCHEMA so the
+    extraction operators accept the frame unchanged; Spark's json
+    source decompresses .gz by extension."""
+    return spark.read.schema(INTERLEAVED_SCHEMA).json(path).select(
+        "doc_id", "spans"
+    )
+
+
 def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
     """Write extraction output.  With Iceberg: ``writeTo(...).append()``
     on a table partitioned by ``bucket(256, doc_id)`` (hidden

@@ -138,3 +138,35 @@ def test_staged_plan_single_exchange_all_chains(spark, t1_df, extractor):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_jsonl_source_golden_exact(spark):
+    """read_interleaved_jsonl ingests the golden corpus format (the
+    same .jsonl.gz tools/oracle.js consumes) and extraction over it is
+    golden-exact -- closing the ingest loop for the reference's own
+    interchange format."""
+    import os
+
+    from boilerpipe_coffee_spark.operators import extract
+    from boilerpipe_coffee_spark.sources import read_interleaved_jsonl
+
+    from helpers import load_golden
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "t1_docs.jsonl.gz"
+    )
+    docs = read_interleaved_jsonl(spark, path)
+    got = {r.doc_id: r for r in extract(docs, "ArticleExtractor").collect()}
+    expected = {g["doc_id"]: g for g in load_golden("t1_ArticleExtractor")}
+    assert len(got) == len(expected) == 200
+    for doc_id, exp in expected.items():
+        row = got[doc_id]
+        if exp["error"] is not None:
+            assert row.error == exp["error"]
+            continue
+        spans = [
+            {"kind": s.kind, "text": s.text, "media_ref": s.media_ref,
+             "order": s.order}
+            for s in (row.spans or [])
+        ]
+        assert spans == exp["spans"] and row.title == exp["title"]
