@@ -597,8 +597,13 @@ def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # both sides are distinct canonical-oriented sets, so equality
+        # is |e| == |ss| plus one one-sided difference being empty --
+        # one exceptAll job per round, not two
         changed = (
-            ss.exceptAll(e).count() + e.exceptAll(ss).count()
+            1
+            if ss.count() != e.count()
+            else ss.exceptAll(e).count()
         )
         e = ss
         if changed == 0:

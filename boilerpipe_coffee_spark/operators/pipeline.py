@@ -42,7 +42,15 @@ def _done_buckets(spark: SparkSession, metrics_dir: str) -> set[int]:
         rows = spark.read.parquet(metrics_dir).select("partition_id").collect()
     except AnalysisException as e:
         msg = str(e)
-        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+        # 'nothing committed yet' has two shapes: the dir does not
+        # exist, OR a crash during the FIRST metrics append left only
+        # _temporary/ behind (no readable footer -> schema inference
+        # fails).  Both must resume with a full re-run, not raise.
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
             return set()
         raise RuntimeError(
             f"metrics dir {metrics_dir} exists but is not readable as the "

@@ -123,8 +123,12 @@ def quality_score(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-QUALITY_SQL = f"""
-WITH t AS (
+def _quality_ctes() -> str:
+    """CTE list ending in ``scored(doc_id, n_tokens, mean_word_len,
+    stopword_ratio, punct_ratio, quality)`` -- shared by the
+    quality-score oracle and the histogram-quantile oracle (no string
+    surgery between builders)."""
+    return f"""t AS (
   SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents
 ), m AS (
   SELECT doc_id, text, len(toks) AS n_tokens,
@@ -136,11 +140,17 @@ WITH t AS (
     round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
           / greatest(length(text), 1), 4) AS punct_ratio
   FROM t
-)
-SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio,
-  round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
-        + (1 - punct_ratio) * 0.3, 4) AS quality
-FROM m ORDER BY doc_id
+), scored AS (
+  SELECT doc_id, n_tokens, mean_word_len, stopword_ratio, punct_ratio,
+    round(least(n_tokens / 100.0, 1.0) * 0.4 + stopword_ratio * 0.3
+          + (1 - punct_ratio) * 0.3, 4) AS quality
+  FROM m
+)"""
+
+
+QUALITY_SQL = f"""
+WITH {_quality_ctes()}
+SELECT * FROM scored ORDER BY doc_id
 """
 
 
@@ -539,10 +549,14 @@ def packing_stats(spark, sf_dir):
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("chunks").alias("total_chunks"),
+            # (capacity - tokens) / max(capacity, 1): equal to
+            # 1 - tokens/capacity when chunks > 0, and 0 (not Spark
+            # NaN vs DuckDB NULL) for an all-empty-doc source
             F.round(
-                1
-                - F.sum("n_tokens")
-                / (F.sum("chunks") * F.lit(CONTEXT_LEN)).cast("double"),
+                (F.sum("chunks") * F.lit(CONTEXT_LEN) - F.sum("n_tokens"))
+                / F.greatest(
+                    F.sum("chunks") * F.lit(CONTEXT_LEN), F.lit(1)
+                ).cast("double"),
                 4,
             ).alias("padding_waste_frac"),
         )
@@ -559,7 +573,8 @@ WITH d AS (
 SELECT source, count(*) AS n_docs,
        sum(n_tokens)::BIGINT AS total_tokens,
        sum(chunks)::BIGINT AS total_chunks,
-       round(1 - sum(n_tokens) / (sum(chunks) * {CONTEXT_LEN})::DOUBLE, 4)
+       round((sum(chunks) * {CONTEXT_LEN} - sum(n_tokens))
+             / greatest(sum(chunks) * {CONTEXT_LEN}, 1)::DOUBLE, 4)
          AS padding_waste_frac
 FROM d GROUP BY source ORDER BY source
 """
@@ -622,9 +637,9 @@ def _quality_quantiles_sql() -> str:
         for qq in QUANTILE_QS
     )
     return f"""
-WITH q AS ({QUALITY_SQL.replace('ORDER BY doc_id', '')}),
+WITH {_quality_ctes()},
 b AS (
-  SELECT (round(quality * 10000)::BIGINT // 10) AS bin FROM q
+  SELECT (round(quality * 10000)::BIGINT // 10) AS bin FROM scored
 ), hist AS (
   SELECT bin, count(*) AS n FROM b GROUP BY bin
 ), cum AS (

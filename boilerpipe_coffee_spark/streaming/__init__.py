@@ -173,15 +173,26 @@ def run_available_now(result: DataFrame, out_dir: str, checkpoint_dir: str):
 
 
 def _work_dirs(kind: str, sf_dir: str):
+    import glob
     import hashlib
     import os
     import shutil
 
     # tag includes the pid: two concurrent sessions (pytest + a driver
     # sim) on the same sf_dir must not rmtree each other's live
-    # drop/checkpoint dirs mid-stream
-    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    base = f"/tmp/bpc_stream_{kind}_{tag}"
+    # drop/checkpoint dirs mid-stream.  Sweep dirs left by DEAD pids
+    # (the per-pid scheme would otherwise accumulate one replayed
+    # corpus copy per past process in /tmp forever); a dir is only
+    # removed when its owning process no longer exists.
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    for stale in glob.glob(f"/tmp/bpc_stream_{kind}_{h}_*"):
+        try:
+            pid = int(stale.rsplit("_", 1)[-1])
+        except ValueError:
+            continue
+        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
+    base = f"/tmp/bpc_stream_{kind}_{h}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     return f"{base}/drops", f"{base}/out", f"{base}/ckpt"
 

@@ -93,13 +93,18 @@ def main() -> None:
         )
         exact_kept = None
     else:
-        featured = near_dup_keep(features)
-        exact_kept = featured.filter(F.col("keep")).count()
-        training = featured.filter(F.col("keep_final")).drop(
-            "is_canonical", "passes_gates", "keep", "keep_final"
-        )
+        # the feature stage feeds three consumers (cluster resolution's
+        # eager checkpoint, the exact_kept lineage count, the training
+        # write); persist so the expensive stage runs ONCE
+        features = features.persist()
+        exact_kept = features.filter(F.col("keep")).count()
+        training = near_dup_keep(features).filter(
+            F.col("keep_final")
+        ).drop("is_canonical", "passes_gates", "keep", "keep_final")
     training_dir = os.path.join(args.output, "training")
     training.write.mode("overwrite").parquet(training_dir)
+    if not args.no_near_dup:
+        features.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
     totals = extracted.agg(

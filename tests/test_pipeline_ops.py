@@ -255,6 +255,11 @@ def test_done_buckets_missing_vs_corrupt(spark, tmp_path):
     from boilerpipe_coffee_spark.operators.pipeline import _done_buckets
 
     assert _done_buckets(spark, str(tmp_path / "nope" / "metrics")) == set()
+    # crash during the FIRST metrics append leaves only _temporary/:
+    # schema inference fails, but it means 'nothing committed yet'
+    half = tmp_path / "half" / "metrics"
+    (half / "_temporary").mkdir(parents=True)
+    assert _done_buckets(spark, str(half)) == set()
     bad = tmp_path / "metrics"
     bad.mkdir()
     (bad / "garbage.parquet").write_text("not parquet at all")
