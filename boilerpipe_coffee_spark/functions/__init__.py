@@ -11,6 +11,17 @@ they live here once instead of drifting apart per module:
 - ``h64(col)`` / ``h64_duck(col)``: the md5-derived 60-bit integer
   hash -- the only hash both engines compute bit-identically; Column
   form for Spark operators, SQL-string form for the DuckDB oracles.
+
+KNOWN cross-engine tokenizer edge (probed): Java/Python lowercasing of
+Turkish dotted 'İ' (U+0130) emits 'i' + U+0307 combining dot, which
+the [^a-z0-9]+ split then treats as a separator ('İstanbul' ->
+['i','stanbul']), while DuckDB's lower() folds it to a plain 'i'
+('istanbul').  Spark's JVM ``lower`` and the vectorized signature
+stages' Python ``str.lower`` agree with EACH OTHER (verified), so the
+engine is self-consistent; only the DuckDB oracle diverges, and only
+on corpora containing that character class.  All committed test/driver
+corpora are ASCII.  If a real corpus needs it, normalize (strip
+combining marks) on BOTH sides rather than special-casing one.
 """
 
 from __future__ import annotations
