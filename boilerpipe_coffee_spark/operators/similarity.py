@@ -340,6 +340,78 @@ def dedup_embedding_lsh_pairs(
     )
 
 
+def emb_bucket_stats(spark, sf_dir, bucket_cap: int = EMB_BUCKET_CAP):
+    """Monitoring companion to the embedding-LSH skew guard (mirrors
+    dedup.minhash_band_stats): per-table bucket-size aggregates plus
+    how many buckets/vectors the cap would drop -- the number an
+    operator watches to detect a vector flood before it detects a
+    slow job."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    tb = emb.select(
+        "vec_id",
+        F.posexplode(_bucket_udf()("v")).alias("table_idx", "bucket"),
+    )
+    counts = tb.groupBy("table_idx", "bucket").agg(
+        F.count("*").alias("bucket_n")
+    )
+    return counts.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_n").alias("max_bucket"),
+        F.sum(
+            F.when(F.col("bucket_n") > bucket_cap, 1).otherwise(0)
+        ).alias("buckets_dropped"),
+        F.sum(
+            F.when(F.col("bucket_n") > bucket_cap, F.col("bucket_n")).otherwise(
+                0
+            )
+        ).alias("vecs_in_dropped"),
+    )
+
+
+def _emb_bucket_stats_sql(bucket_cap: int = EMB_BUCKET_CAP) -> str:
+    tables = []
+    for t in range(N_TABLES):
+        bits = []
+        for b in range(PLANES_PER_TABLE):
+            p = t * PLANES_PER_TABLE + b
+            seed = f"'{p}:' || d"
+            plane = (
+                f"list_transform(range(1, {DIM + 1}), d -> "
+                f"((({_h64_duck(seed)}) % 2001 - 1000) / 1000.0))"
+            )
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {plane}) >= 0 "
+                f"THEN {2 ** b} ELSE 0 END)"
+            )
+        tables.append(
+            f"SELECT vec_id, {t} AS table_idx, "
+            f"({' + '.join(bits)})::INT AS bucket FROM emb"
+        )
+    tb_union = "\n  UNION ALL\n  ".join(tables)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), tb AS (
+  {tb_union}
+), bc AS (
+  SELECT table_idx, bucket, count(*) AS bucket_n
+  FROM tb GROUP BY 1, 2
+)
+SELECT count(*) AS n_buckets,
+       max(bucket_n) AS max_bucket,
+       sum(CASE WHEN bucket_n > {bucket_cap} THEN 1 ELSE 0 END)::BIGINT
+         AS buckets_dropped,
+       sum(CASE WHEN bucket_n > {bucket_cap} THEN bucket_n ELSE 0 END)::BIGINT
+         AS vecs_in_dropped
+FROM bc
+"""
+
+
+EMB_BUCKET_STATS_SQL = _emb_bucket_stats_sql()
+
+
 def _emb_lsh_pairs_sql(
     threshold: float = EMB_NEARDUP_THRESHOLD, bucket_cap: int = EMB_BUCKET_CAP
 ) -> str:
@@ -651,12 +723,14 @@ QUERIES = {
     "ann_lsh_buckets": ann_lsh_buckets,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_embedding_lsh_pairs": dedup_embedding_lsh_pairs,
+    "emb_bucket_stats": emb_bucket_stats,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
 }
 
 ORACLES = {
     "dedup_embedding_lsh_pairs": DEDUP_EMB_LSH_SQL,
+    "emb_bucket_stats": EMB_BUCKET_STATS_SQL,
     "embedding_cosine_topk": COSINE_TOPK_SQL,
     "ann_lsh_buckets": ANN_LSH_SQL,
     "dedup_embedding_cosine": DEDUP_EMB_COS_SQL,

@@ -123,3 +123,17 @@ def test_full_recall_sf01(spark):
     }
     assert lsh == bf
     assert len(bf) == 14
+
+
+def test_flood_visible_in_bucket_stats(spark, flood_dir):
+    """The monitoring companion must report the vector flood that the
+    cap silently (by design) drops from the candidate join."""
+    from boilerpipe_coffee_spark.operators.similarity import (
+        N_TABLES,
+        emb_bucket_stats,
+    )
+
+    s = emb_bucket_stats(spark, flood_dir).collect()[0]
+    assert s.max_bucket >= 600  # the flood bucket, in every table
+    assert s.buckets_dropped >= N_TABLES
+    assert s.vecs_in_dropped >= 600 * N_TABLES
