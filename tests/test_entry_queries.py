@@ -125,3 +125,20 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = ENTRY.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_ordering():
+    """The driver only materializes CORRECTNESS rows for the first 50
+    queries() entries (VERDICT r3).  Every one of those 50 must be
+    oracle-backed, and the priority set (extract_parity, the four
+    streaming queries, repetition_stats) must be inside the window."""
+    keys = list(ENTRY.queries().keys())
+    window = keys[:50]
+    oracle_backed = set(ENTRY.oracle_sql().keys())
+    missing = [k for k in window if k not in oracle_backed]
+    assert not missing, f"rows-only queries inside the 50-window: {missing}"
+    for name in ENTRY.PRIORITY:
+        assert name in window, f"priority query {name} fell out of the window"
+    for name in ENTRY.DEMOTED:
+        assert name in keys, f"demoted query {name} dropped from contract"
+        assert name in oracle_backed, f"demoted query {name} lost its oracle"
