@@ -153,9 +153,16 @@ def run_bench() -> dict:
     spec.loader.exec_module(entry)
     qs = entry.queries()
 
-    # warm pass (JIT, python workers, page cache) -- recorded, not used
+    # warm pass (JIT, python workers, page cache) -- recorded, not used.
+    # The SUITE queries get the same treatment as extraction: a pandas-
+    # UDF query's first call pays ~15-20 s of python-worker spawn +
+    # plan compilation that the steady state never sees (r3 diagnosed:
+    # dedup_embedding_lsh_pairs reported 9.8 s from cold-inflated
+    # medians vs ~4-6 s warm), so all timed samples are warm-state.
     n_out, warm = _timed(lambda: extract(docs, "ArticleExtractor").count())
     extract_staged(docs, "ArticleExtractor").count()
+    for name in SUITE:
+        qs[name](spark, SF_DIR).count()
 
     samples: dict[str, list] = {}
     ratios: list[float] = []
@@ -201,11 +208,11 @@ def run_bench() -> dict:
         "docs_per_sec": round(n_docs / headline, 1),
         "docs_out": n_out,
         "cpus": CPUS,
-        "protocol": f"median of {N_PASSES} interleaved passes",
-        "samples": {
-            k: [round(x, 3) for x in samples[k]]
-            for k in ("extract_article", "extract_article_staged")
-        },
+        "protocol": f"median of {N_PASSES} interleaved passes, all-warm",
+        # full per-pass samples: medians hide cold-start/GC outliers,
+        # and r3's dedup_embedding_lsh_pairs doc-vs-bench split (9.8 s
+        # reported vs ~4 s warm) was undiagnosable without these
+        "samples": {k: [round(x, 3) for x in xs] for k, xs in samples.items()},
         "staged_over_prod": round(statistics.median(ratios), 3),
         "staged_over_prod_3x_docs": round(s3 / p3, 3),
     }
