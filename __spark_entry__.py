@@ -106,7 +106,7 @@ def _extraction_queries() -> dict[str, Callable]:
 
         docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
         media = media_payloads(extract(docs, "KeepEverythingExtractor"))
-        return resize_images(media, max_px=256).drop("payload").orderBy(
+        return resize_images(media, max_px=24).drop("payload").orderBy(
             "media_ref"
         )
 
@@ -120,7 +120,7 @@ def _extraction_queries() -> dict[str, Callable]:
 
         docs = synth_interleaved(spark, N_FLAGSHIP_DOCS, seed=42)
         media = media_payloads(extract(docs, "KeepEverythingExtractor"))
-        return sample_frames(media, every_ms=5000).drop("frame").orderBy(
+        return sample_frames(media, every_ms=500).drop("frame").orderBy(
             "media_ref", "frame_idx"
         )
 

@@ -1,0 +1,371 @@
+"""Minimal pure-python media codecs for the multimodal operators.
+
+Real formats, implemented from the public specs so any external tool
+can read the synthesized payloads and these parsers can read minimal
+real-world files:
+
+- PNG (RFC 2083): 8-bit grayscale, zlib IDAT, CRC-verified chunks,
+  scanline filters None/Sub/Up on read (the writer emits None).
+- WAV (RIFF): 16-bit PCM mono.
+- GIF89a: multi-frame, global 256-gray palette, real LZW encode and
+  decode with code-width growth and 4096-entry clear handling --
+  used as the "video" container so frame sampling decodes real frames.
+
+The container lacks PIL/ffmpeg (environment limit); these replace the
+r1-r3 decode stubs with working codecs behind the same interface.
+Parsers raise ValueError on corrupt/unsupported input -- callers
+quarantine.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------ #
+# PNG (8-bit grayscale)                                               #
+# ------------------------------------------------------------------ #
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def write_png(width: int, height: int, pixels: bytes) -> bytes:
+    """8-bit grayscale PNG; ``pixels`` is width*height bytes, row-major."""
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != {width}x{height}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
+    )
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def read_png(buf: bytes) -> dict:
+    """Parse an 8-bit grayscale PNG -> {width, height, pixels}."""
+    if buf[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", buf[pos + 8 + length : pos + 12 + length]
+        )
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if (depth, ctype) != (8, 0):
+                raise ValueError(
+                    f"unsupported PNG depth/colortype {depth}/{ctype}"
+                )
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT corrupt: {e}") from e
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG scanline size mismatch")
+    out = np.empty((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * stride]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=width, offset=y * stride + 1
+        ).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int16) + prev).astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter {ftype} unsupported")
+        out[y] = row
+        prev = row
+    return {"width": width, "height": height, "pixels": out.tobytes()}
+
+
+# ------------------------------------------------------------------ #
+# WAV (16-bit PCM mono)                                               #
+# ------------------------------------------------------------------ #
+
+def write_wav(rate: int, samples: np.ndarray) -> bytes:
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def read_wav(buf: bytes) -> dict:
+    """Parse a PCM WAV -> {rate, n_samples, duration_ms, samples}."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        chunk = buf[pos + 8 : pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated WAV chunk")
+        pos += 8 + length + (length & 1)
+        if tag == b"fmt ":
+            afmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+            if (afmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV format {afmt}/{channels}ch/{bits}bit"
+                )
+        elif tag == b"data":
+            data = chunk
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return {
+        "rate": rate,
+        "n_samples": len(samples),
+        "duration_ms": round(len(samples) * 1000 / rate),
+        "samples": samples,
+    }
+
+
+# ------------------------------------------------------------------ #
+# GIF89a (grayscale palette, multi-frame)                             #
+# ------------------------------------------------------------------ #
+
+_GIF_MIN_CODE = 8  # 256-color palette
+
+
+def _lzw_encode(data: bytes, min_code_size: int = _GIF_MIN_CODE) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code == 4096:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = _GIF_MIN_CODE) -> bytes:
+    clear = 1 << min_code_size
+    end = clear + 1
+    big = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    pos = 0
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + code_size <= total_bits:
+        code = (big >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("LZW code out of range")
+            table.append(prev + entry[:1])
+            # the decoder adds entries one code LATER than the encoder
+            # (the first code after a clear adds nothing), so it must
+            # widen one entry earlier to stay bit-aligned
+            if len(table) == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)
+    return bytes(out)
+
+
+def write_gif(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    delays_cs: list[int],
+) -> bytes:
+    """Grayscale multi-frame GIF89a; each frame is width*height palette
+    (== gray-level) bytes; one delay (centiseconds) per frame."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("frames/delays mismatch")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT, 8-bit, 256 entries; bg 0; aspect 0
+    for i in range(256):
+        out += bytes([i, i, i])
+    for frame, delay in zip(frames, delays_cs):
+        if len(frame) != width * height:
+            raise ValueError("frame size mismatch")
+        out += b"\x21\xf9\x04"  # graphic control extension
+        out += bytes([0x00]) + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x00, _GIF_MIN_CODE])
+        out += _sub_blocks(_lzw_encode(frame))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def read_gif(buf: bytes) -> dict:
+    """Parse a GIF89a/87a -> {width, height, frames, delays_cs,
+    duration_ms}.  Full-canvas, non-interlaced frames (what write_gif
+    emits); local color tables are skipped over, interlace rejected."""
+    if buf[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", buf[6:10])
+    packed = buf[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[bytes] = []
+    delays: list[int] = []
+    delay = 0
+    while pos < len(buf):
+        marker = buf[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            if label == 0xF9 and buf[pos] >= 4:
+                delay = struct.unpack("<H", buf[pos + 2 : pos + 4])[0]
+            while True:  # skip sub-blocks
+                size = buf[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+        elif marker == 0x2C:  # image descriptor
+            x, y, w, h = struct.unpack("<HHHH", buf[pos : pos + 8])
+            fpacked = buf[pos + 8]
+            pos += 9
+            if fpacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if fpacked & 0x80:
+                pos += 3 * (2 << (fpacked & 0x07))
+            min_code = buf[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                size = buf[pos]
+                pos += 1
+                data += buf[pos : pos + size]
+                pos += size
+                if size == 0:
+                    break
+            pixels = _lzw_decode(bytes(data), min_code)
+            if (x, y, w, h) != (0, 0, width, height):
+                raise ValueError("partial-canvas GIF frame unsupported")
+            if len(pixels) < w * h:
+                raise ValueError("GIF frame pixel shortfall")
+            frames.append(pixels[: w * h])
+            delays.append(delay)
+            delay = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return {
+        "width": width,
+        "height": height,
+        "frames": frames,
+        "delays_cs": delays,
+        "duration_ms": sum(delays) * 10,
+    }

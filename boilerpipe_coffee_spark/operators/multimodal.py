@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The sandbox has no image/audio codecs, so the decode step is STUBBED
-(deterministic fake features derived from the bytes; a real deployment
-swaps `_decode_stub` for PIL/torchaudio/ffmpeg).  Everything Spark-side
-is real and tested: binary schema, Arrow batch shape through
-``mapInPandas``, per-kind dispatch, partition-preserving plumbing.
+As of r4 the decode step is REAL: payloads are genuine PNG (image),
+WAV PCM (audio), and GIF89a (video) byte streams synthesized
+deterministically per media_ref, and ``decode_features`` /
+``resize_images`` / ``sample_frames`` parse them with the pure-python
+codecs in :mod:`.media_codecs` (CRC-checked PNG + zlib IDAT, RIFF PCM,
+real GIF LZW).  Corrupt or unsupported payloads quarantine (null
+feature columns) rather than fail the job.  A production deployment
+swaps the synthesizer for the blob-store fetch and may swap the
+codecs for PIL/torchaudio/ffmpeg behind the same row contract.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,6 +30,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from . import media_codecs as mc
 
 MEDIA_SCHEMA = StructType(
     [
@@ -50,10 +57,49 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+# ------------------------------------------------------------------ #
+# deterministic payload synthesis (stands in for the blob-store fetch) #
+# ------------------------------------------------------------------ #
+
+def _stream(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random byte stream (sha256 in counter mode)."""
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def synth_payload(media_ref: str, kind: str) -> bytes:
+    """Real container bytes for a media_ref: PNG / WAV / GIF89a with
+    content and dimensions derived deterministically from the ref."""
+    h = hashlib.md5(media_ref.encode()).digest()
+    if kind == "image":
+        w, ht = 8 + h[0] % 56, 8 + h[1] % 56
+        return mc.write_png(w, ht, _stream(media_ref + ":png", w * ht))
+    if kind == "audio":
+        n = 1600 + int.from_bytes(h[2:4], "big") % 6400  # 200-1000 ms
+        raw = np.frombuffer(
+            _stream(media_ref + ":pcm", n * 2), dtype="<i2"
+        )
+        return mc.write_wav(8000, raw)
+    if kind == "video":
+        w, ht = 8 + h[0] % 32, 8 + h[1] % 32
+        n_frames = 2 + h[4] % 4
+        delays = [10 + (h[5] + i * 7) % 50 for i in range(n_frames)]
+        frames = [
+            _stream(f"{media_ref}:f{i}", w * ht) for i in range(n_frames)
+        ]
+        return mc.write_gif(w, ht, frames, delays)
+    raise NotImplementedError(f"unknown media kind: {kind}")
+
+
 def media_payloads(extracted: DataFrame) -> DataFrame:
     """Explode media spans from extraction output into a binary-column
-    table.  Payloads here are deterministic fakes (md5 bytes of the
-    ref); in production this is the blob-store fetch."""
+    table with REAL container payloads (PNG/WAV/GIF89a), synthesized
+    deterministically per media_ref; in production this is the
+    blob-store fetch."""
     media = (
         extracted.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") != "text")
@@ -63,63 +109,106 @@ def media_payloads(extracted: DataFrame) -> DataFrame:
             F.col("s.kind").alias("kind"),
         )
     )
-    return media.withColumn(
-        "payload", F.unhex(F.md5("media_ref"))
-    )
+
+    @F.pandas_udf("binary")
+    def synth(refs: pd.Series, kinds: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_payload(r, k) for r, k in zip(refs, kinds)]
+        )
+
+    return media.withColumn("payload", synth("media_ref", "kind"))
 
 
-def _decode_stub(kind: str, payload: bytes) -> dict:
-    """Deterministic fake decode.  Replace with a real codec in
-    production; the signature and batch shape are the contract.
+# ------------------------------------------------------------------ #
+# decode                                                              #
+# ------------------------------------------------------------------ #
 
-    Raises NotImplementedError for kinds a real decoder would need
-    codec support for that this container lacks -- callers decide
-    whether to quarantine or skip.
-    """
+def _stats8(x: np.ndarray, extra: float) -> list[float]:
+    """8-dim content feature from values in [0, 1] -- stands in for a
+    CLIP/CLAP embedding but is computed from the real decoded signal."""
+    q1, q2, q3 = np.quantile(x, [0.25, 0.5, 0.75])
+    feats = [x.mean(), x.std(), x.min(), x.max(), q1, q2, q3, extra]
+    return [float(v * 2 - 1) for v in feats]
+
+
+def _decode(kind: str, payload: bytes) -> dict:
+    """Parse a real media payload into typed features.  Container is
+    sniffed from magic bytes; a payload whose container does not match
+    its declared kind, or that fails to parse, raises (ValueError /
+    NotImplementedError) and the caller quarantines the row."""
     if payload is None:
         raise NotImplementedError(f"no payload bytes for {kind}")
-    h = hashlib.md5(payload).digest()
     base = {
         "n_bytes": len(payload),
-        "magic": payload[:4].hex(),
+        "magic": bytes(payload[:4]).hex(),
         "width": None,
         "height": None,
         "duration_ms": None,
-        # 8-dim fake embedding from the digest -- stands in for a
-        # CLIP/CLAP feature vector
-        "embedding": [((b / 255.0) * 2 - 1) for b in h[:8]],
+        "embedding": None,
     }
-    if kind == "image":
-        base["width"] = 16 + h[0] % 2048
-        base["height"] = 16 + h[1] % 2048
-    elif kind in ("audio", "video"):
-        base["duration_ms"] = 1000 + int.from_bytes(h[2:4], "big")
-        if kind == "video":
-            base["width"] = 16 + h[0] % 2048
-            base["height"] = 16 + h[1] % 2048
+    if payload[:8] == mc.PNG_SIG:
+        if kind != "image":
+            raise ValueError(f"PNG payload declared as {kind}")
+        d = mc.read_png(payload)
+        img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+            d["height"], d["width"]
+        )
+        x = img.astype(np.float64) / 255.0
+        grad = float(np.abs(np.diff(x, axis=1)).mean()) if d["width"] > 1 else 0.0
+        base.update(
+            width=d["width"], height=d["height"],
+            embedding=_stats8(x, grad),
+        )
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        if kind != "audio":
+            raise ValueError(f"WAV payload declared as {kind}")
+        d = mc.read_wav(payload)
+        s = d["samples"].astype(np.float64)
+        x = (s + 32768.0) / 65535.0
+        zcr = float((np.diff(np.signbit(s)) != 0).mean()) if len(s) > 1 else 0.0
+        base.update(duration_ms=d["duration_ms"], embedding=_stats8(x, zcr))
+    elif payload[:6] in (b"GIF89a", b"GIF87a"):
+        if kind != "video":
+            raise ValueError(f"GIF payload declared as {kind}")
+        d = mc.read_gif(payload)
+        x = (
+            np.frombuffer(d["frames"][0], dtype=np.uint8).astype(np.float64)
+            / 255.0
+        )
+        nf = min((len(d["frames"]) - 1) / 15.0, 1.0)
+        base.update(
+            width=d["width"], height=d["height"],
+            duration_ms=d["duration_ms"], embedding=_stats8(x, nf),
+        )
     else:
-        raise NotImplementedError(f"unknown media kind: {kind}")
+        raise NotImplementedError(
+            f"no codec for {kind} payload with magic {base['magic']}"
+        )
     return base
 
 
+_QUARANTINE = {
+    "n_bytes": None,
+    "magic": None,
+    "width": None,
+    "height": None,
+    "duration_ms": None,
+    "embedding": None,
+}
+
+
 def decode_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode/feature-extract over binary payloads."""
+    """Arrow-batched decode/feature-extract over binary payloads.
+    Undecodable rows quarantine as null features (never fail the job)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
                 try:
-                    feat = _decode_stub(r.kind, bytes(r.payload))
-                except NotImplementedError:
-                    feat = {
-                        "n_bytes": None,
-                        "magic": None,
-                        "width": None,
-                        "height": None,
-                        "duration_ms": None,
-                        "embedding": None,
-                    }
+                    feat = _decode(r.kind, bytes(r.payload))
+                except (NotImplementedError, ValueError):
+                    feat = dict(_QUARANTINE)
                 rows.append(
                     {
                         "doc_id": r.doc_id,
@@ -148,12 +237,25 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
-    """Resize plumbing for image payloads: aspect-preserving fit into
-    ``max_px``.  The pixel work is STUBBED (dims from the decode stub,
-    output payload a deterministic fake); schema, filtering, batch
-    shape, and the resize arithmetic are real -- a deployment swaps the
-    two marked lines for PIL."""
+def _box_resize(img: np.ndarray, rw: int, rh: int) -> np.ndarray:
+    """Area-average resample of a grayscale image to (rh, rw)."""
+    h, w = img.shape
+    yb = (np.arange(rh) * h // rh).astype(np.intp)
+    xb = (np.arange(rw) * w // rw).astype(np.intp)
+    acc = np.add.reduceat(img.astype(np.float64), yb, axis=0)
+    acc = np.add.reduceat(acc, xb, axis=1)
+    ylen = np.diff(np.append(yb, h)).astype(np.float64)
+    xlen = np.diff(np.append(xb, w)).astype(np.float64)
+    return np.clip(
+        acc / np.outer(ylen, xlen) + 0.5, 0, 255
+    ).astype(np.uint8)
+
+
+def resize_images(media: DataFrame, max_px: int = 64) -> DataFrame:
+    """Aspect-preserving fit of image payloads into ``max_px``: decode
+    PNG, area-average downsample (never upscale), re-encode PNG.
+    Undecodable images are dropped (the quarantine surface for media is
+    :func:`decode_features`)."""
 
     imgs = media.filter(F.col("kind") == "image")
 
@@ -161,13 +263,18 @@ def resize_images(media: DataFrame, max_px: int = 256) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                feat = _decode_stub("image", bytes(r.payload))  # STUB: PIL.open
-                w, h = feat["width"], feat["height"]
+                try:
+                    d = mc.read_png(bytes(r.payload))
+                except ValueError:
+                    continue
+                w, h = d["width"], d["height"]
+                img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w)
                 scale = min(max_px / w, max_px / h, 1.0)
-                rw, rh = max(int(w * scale), 1), max(int(h * scale), 1)
-                out = hashlib.md5(
-                    bytes(r.payload) + f"{rw}x{rh}".encode()
-                ).digest()  # STUB: PIL.resize + encode
+                rw = max(int(w * scale + 0.5), 1)
+                rh = max(int(h * scale + 0.5), 1)
+                out = mc.write_png(
+                    rw, rh, _box_resize(img, rw, rh).tobytes()
+                )
                 rows.append(
                     {
                         "doc_id": r.doc_id,
@@ -198,10 +305,11 @@ FRAMES_SCHEMA = StructType(
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: one output row per
-    sampled timestamp (1 -> N inside the Arrow batch).  Frame bytes are
-    STUBBED (md5 of payload+t); duration comes from the decode stub --
-    a deployment swaps those for ffmpeg seek+decode."""
+    """Frame sampling over video payloads: decode the GIF, walk its
+    real per-frame delay timeline, and emit the frame active at each
+    ``every_ms`` tick as a PNG (1 -> N inside the Arrow batch).
+    Undecodable videos are dropped (quarantine surface is
+    :func:`decode_features`)."""
 
     vids = media.filter(F.col("kind") == "video")
 
@@ -209,19 +317,25 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                feat = _decode_stub("video", bytes(r.payload))  # STUB: ffprobe
-                dur = feat["duration_ms"]
-                for idx, t in enumerate(range(0, dur, every_ms)):
-                    frame = hashlib.md5(
-                        bytes(r.payload) + t.to_bytes(4, "big")
-                    ).digest()  # STUB: ffmpeg -ss t
+                try:
+                    d = mc.read_gif(bytes(r.payload))
+                except ValueError:
+                    continue
+                ends = np.cumsum([dl * 10 for dl in d["delays_cs"]])
+                total = int(ends[-1])
+                for idx, t in enumerate(range(0, max(total, 1), every_ms)):
+                    src = int(np.searchsorted(ends, t, side="right"))
+                    src = min(src, len(ends) - 1)
+                    frame_png = mc.write_png(
+                        d["width"], d["height"], d["frames"][src]
+                    )
                     rows.append(
                         {
                             "doc_id": r.doc_id,
                             "media_ref": r.media_ref,
                             "frame_idx": idx,
                             "t_ms": t,
-                            "frame": frame,
+                            "frame": frame_png,
                         }
                     )
             yield pd.DataFrame(

@@ -1,0 +1,146 @@
+"""Unit tests for the pure-python media codecs (PNG / WAV / GIF89a)
+and the resize arithmetic -- no Spark needed."""
+
+import numpy as np
+import pytest
+
+from boilerpipe_coffee_spark.operators import media_codecs as mc
+from boilerpipe_coffee_spark.operators.multimodal import _box_resize
+
+
+RNG = np.random.RandomState(1234)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 63), (63, 8), (40, 40)])
+def test_png_round_trip(w, h):
+    pix = RNG.randint(0, 256, w * h).astype(np.uint8).tobytes()
+    d = mc.read_png(mc.write_png(w, h, pix))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["pixels"] == pix
+
+
+def test_png_rejects_corruption():
+    buf = bytearray(mc.write_png(4, 4, bytes(range(16))))
+    with pytest.raises(ValueError):
+        mc.read_png(b"notapng" + bytes(buf))
+    buf[20] ^= 0xFF  # flip a bit inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        mc.read_png(bytes(buf))
+
+
+def test_png_sub_and_up_filters():
+    # hand-build a PNG using filters 1 (Sub) and 2 (Up): read_png must
+    # reconstruct -- minimal real-world-file compatibility
+    import struct
+    import zlib
+
+    width, height = 4, 2
+    row0 = bytes([10, 20, 30, 40])
+    row1 = bytes([15, 25, 35, 45])
+    # filter 1: first byte raw, rest delta vs left
+    f0 = bytes([1, 10, 10, 10, 10])
+    # filter 2: delta vs row above
+    f1 = bytes([2, 5, 5, 5, 5])
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    buf = (
+        mc.PNG_SIG
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(f0 + f1))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    d = mc.read_png(buf)
+    assert d["pixels"] == row0 + row1
+
+
+def test_wav_round_trip():
+    s = RNG.randint(-32768, 32768, 4321).astype(np.int16)
+    d = mc.read_wav(mc.write_wav(8000, s))
+    assert d["rate"] == 8000
+    assert d["n_samples"] == 4321
+    assert d["duration_ms"] == round(4321 * 1000 / 8000)
+    assert np.array_equal(d["samples"], s)
+
+
+def test_wav_rejects_bad_formats():
+    with pytest.raises(ValueError):
+        mc.read_wav(b"RIFFxxxxNOPE")
+    good = bytearray(mc.write_wav(8000, np.zeros(10, dtype=np.int16)))
+    good[22] = 2  # stereo
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        mc.read_wav(bytes(good))
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        bytes(range(256)),
+        b"abcabcabcabd" * 3000,  # deep dictionary chains
+        bytes(50000),  # pathological all-zero
+        RNG.randint(0, 256, 60000).astype(np.uint8).tobytes(),  # > 4096 codes
+    ],
+    ids=["empty", "one", "alphabet", "repetitive", "zeros", "random60k"],
+)
+def test_lzw_round_trip(data):
+    assert mc._lzw_decode(mc._lzw_encode(data)) == data
+
+
+def test_gif_round_trip_and_duration():
+    frames = [
+        RNG.randint(0, 256, 30 * 20).astype(np.uint8).tobytes()
+        for _ in range(4)
+    ]
+    d = mc.read_gif(mc.write_gif(30, 20, frames, [12, 25, 7, 40]))
+    assert (d["width"], d["height"]) == (30, 20)
+    assert d["frames"] == frames
+    assert d["delays_cs"] == [12, 25, 7, 40]
+    assert d["duration_ms"] == 840
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(ValueError):
+        mc.read_gif(b"JIF89a" + bytes(20))
+
+
+def test_box_resize_exact_means():
+    # 4x4 -> 2x2: each output pixel is the mean of a 2x2 block
+    img = np.array(
+        [
+            [0, 4, 8, 12],
+            [2, 6, 10, 14],
+            [100, 104, 108, 112],
+            [102, 106, 110, 114],
+        ],
+        dtype=np.uint8,
+    )
+    out = _box_resize(img, 2, 2)
+    assert out.tolist() == [[3, 11], [103, 111]]
+
+
+def test_box_resize_uneven_blocks():
+    img = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    out = _box_resize(img, 3, 2)
+    assert out.shape == (2, 3)
+    # block boundaries: rows [0:2],[2:5]; cols [0:2],[2:4],[4:7]
+    expect = np.array(
+        [
+            [img[0:2, 0:2].mean(), img[0:2, 2:4].mean(), img[0:2, 4:7].mean()],
+            [img[2:5, 0:2].mean(), img[2:5, 2:4].mean(), img[2:5, 4:7].mean()],
+        ]
+    )
+    assert np.abs(out.astype(float) - expect).max() <= 0.5
+
+
+def test_synth_payload_is_deterministic_and_real():
+    from boilerpipe_coffee_spark.operators.multimodal import synth_payload
+
+    for kind, reader in [
+        ("image", mc.read_png),
+        ("audio", mc.read_wav),
+        ("video", mc.read_gif),
+    ]:
+        p1 = synth_payload("some/ref.bin", kind)
+        p2 = synth_payload("some/ref.bin", kind)
+        assert p1 == p2
+        reader(p1)  # parses cleanly

@@ -168,22 +168,86 @@ def test_columnar_keep_largest_matches_core_semantics(spark):
 
 
 def test_multimodal_decode(spark, t1_df):
+    import hashlib
+
+    import numpy as np
+
+    from boilerpipe_coffee_spark.operators import media_codecs as mc
+    from boilerpipe_coffee_spark.operators.multimodal import synth_payload
+
     out = extract(t1_df, "KeepEverythingExtractor")
     media = media_payloads(out)
     feats = decode_features(media)
     rows = feats.collect()
     assert rows, "t1 corpus contains media spans"
+    kinds = set()
     for r in rows:
-        assert r.n_bytes == 16  # md5 payload stub
+        kinds.add(r.kind)
+        assert r.n_bytes and r.n_bytes > 44  # real container bytes
         assert len(r.magic) == 8
         assert len(r.embedding) == 8
+        assert all(-1.0 <= v <= 1.0 for v in r.embedding)
+        # decoded dims must equal what an independent parse of the
+        # payload says -- not a hash-derived fake
+        h = hashlib.md5(r.media_ref.encode()).digest()
         if r.kind == "image":
-            assert r.width and r.height and r.duration_ms is None
+            assert r.magic == "89504e47"  # \x89PNG
+            assert (r.width, r.height) == (8 + h[0] % 56, 8 + h[1] % 56)
+            assert r.duration_ms is None
+            d = mc.read_png(bytes(synth_payload(r.media_ref, "image")))
+            assert (d["width"], d["height"]) == (r.width, r.height)
+            # embedding mean matches the real pixel mean
+            pix = np.frombuffer(d["pixels"], dtype=np.uint8)
+            assert abs(r.embedding[0] - (pix.mean() / 255 * 2 - 1)) < 1e-6
         if r.kind == "audio":
-            assert r.duration_ms and r.width is None
+            assert r.magic == "52494646"  # RIFF
+            n = 1600 + int.from_bytes(h[2:4], "big") % 6400
+            assert r.duration_ms == round(n * 1000 / 8000)
+            assert r.width is None and r.height is None
+        if r.kind == "video":
+            assert r.magic == "47494638"  # GIF8
+            d = mc.read_gif(bytes(synth_payload(r.media_ref, "video")))
+            assert (r.width, r.height) == (d["width"], d["height"])
+            assert r.duration_ms == d["duration_ms"] > 0
+    assert {"image", "audio", "video"} <= kinds
     # deterministic across runs
     again = decode_features(media).collect()
     assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_multimodal_decode_quarantines_corrupt(spark):
+    import pandas as pd
+
+    from boilerpipe_coffee_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        synth_payload,
+    )
+
+    good = synth_payload("m1", "image")
+    corrupt = good[:20] + b"\x00\x00\x00\x00" + good[24:]  # break CRC
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d1", "d2", "d2"],
+            "media_ref": ["m1", "m2", "m3", "m4"],
+            "kind": ["image", "image", "audio", "video"],
+            "payload": [
+                good,
+                corrupt,
+                b"\x00garbage",
+                synth_payload("m4", "audio"),  # kind/container mismatch
+            ],
+        }
+    )
+    feats = {
+        r.media_ref: r
+        for r in decode_features(
+            spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert feats["m1"].width is not None
+    for bad in ("m2", "m3", "m4"):
+        assert feats[bad].n_bytes is None, bad
+        assert feats[bad].embedding is None, bad
 
 
 def test_multimodal_resize_and_frame_sample(spark, t1_df):
@@ -195,14 +259,20 @@ def test_multimodal_resize_and_frame_sample(spark, t1_df):
     out = extract(t1_df, "KeepEverythingExtractor")
     media = media_payloads(out)
 
-    resized = resize_images(media, max_px=128).collect()
+    from boilerpipe_coffee_spark.operators import media_codecs as mc
+
+    resized = resize_images(media, max_px=16).collect()
     assert resized, "t1 corpus contains images"
     for r in resized:
-        assert max(r.resized_w, r.resized_h) <= 128
-        # aspect preserved within integer truncation
-        ar_in = r.width / r.height
-        assert abs(r.resized_w / r.resized_h - ar_in) / ar_in < 0.1
-        assert len(r.payload) == 16
+        assert max(r.resized_w, r.resized_h) <= 16
+        # aspect preserved within integer rounding: each dim is the
+        # rounded scale of the source (+/-0.5 px)
+        scale = min(16 / r.width, 16 / r.height, 1.0)
+        assert abs(r.resized_w - r.width * scale) <= 0.5
+        assert abs(r.resized_h - r.height * scale) <= 0.5
+        # payload is a REAL PNG of exactly the declared resized dims
+        d = mc.read_png(bytes(r.payload))
+        assert (d["width"], d["height"]) == (r.resized_w, r.resized_h)
     # never upscale
     assert all(r.resized_w <= r.width and r.resized_h <= r.height
                for r in resized)
@@ -217,6 +287,21 @@ def test_multimodal_resize_and_frame_sample(spark, t1_df):
         assert [f.frame_idx for f in fs] == list(range(len(fs)))
         assert [f.t_ms for f in fs] == [i * 1000 for i in range(len(fs))]
         assert len({bytes(f.frame) for f in fs}) == len(fs)  # distinct frames
+        # every emitted frame is a real PNG whose pixels equal the GIF
+        # frame active at that timestamp
+        from boilerpipe_coffee_spark.operators.multimodal import synth_payload
+
+        gif = mc.read_gif(bytes(synth_payload(ref, "video")))
+        import numpy as np
+
+        ends = np.cumsum([dl * 10 for dl in gif["delays_cs"]])
+        for f in fs:
+            png = mc.read_png(bytes(f.frame))
+            src = min(
+                int(np.searchsorted(ends, f.t_ms, side="right")),
+                len(ends) - 1,
+            )
+            assert png["pixels"] == gif["frames"][src]
 
 
 def test_extract_balanced_matches_plain_extract(spark):
