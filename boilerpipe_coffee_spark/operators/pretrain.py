@@ -75,6 +75,39 @@ def content_features(
     )
 
 
+def quality_gate(
+    features: DataFrame, drop_bottom_pct: float
+) -> tuple[DataFrame, float]:
+    """Data-driven quality gate: drop the bottom ``drop_bottom_pct``
+    percent of documents by composite quality score, with the
+    threshold picked by the distributed histogram sketch
+    (:func:`..operators.textstats.quality_bin_threshold` -- a
+    <=1000-key shuffle at any corpus size, no global sort).
+
+    Input: :func:`content_features` output.  Returns (gated frame,
+    picked threshold): adds ``quality`` and ``passes_quality`` and
+    folds the quality decision into ``passes_gates`` / ``keep`` so
+    downstream stages (exact keep-set, near-dup) see one combined
+    gate.  Ties AT the threshold bin are kept, so at most the
+    requested fraction is dropped (deterministic -- no row-order
+    dependence)."""
+    from .textstats import quality_bin, quality_bin_threshold, quality_expr
+
+    scored = features.withColumn("quality", quality_expr())
+    thr_bin = quality_bin_threshold(scored, drop_bottom_pct / 100.0)
+    passes = quality_bin("quality") >= F.lit(thr_bin)
+    gated = (
+        scored.withColumn("passes_quality", passes)
+        .withColumn(
+            "passes_gates", F.col("passes_gates") & F.col("passes_quality")
+        )
+        .withColumn("keep", F.col("is_canonical") & F.col("passes_gates"))
+    )
+    from .textstats import N_QBINS
+
+    return gated, thr_bin / float(N_QBINS)
+
+
 def near_dup_keep(
     features: DataFrame, bucket_cap: int = 64, max_iters: int = 20
 ) -> DataFrame:

@@ -74,6 +74,47 @@ FROM h ORDER BY doc_id
 """
 
 
+def _stop_ratio_expr():
+    toks = F.expr(_TOKENS)
+    return F.round(
+        F.size(
+            F.filter(
+                toks,
+                lambda x: F.array_contains(
+                    F.expr(_arr_lit(STOPWORDS["en"])), x
+                ),
+            )
+        )
+        / F.greatest(F.size(toks), F.lit(1)),
+        4,
+    )
+
+
+def _punct_ratio_expr():
+    return F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))
+        )
+        / F.greatest(F.length("text"), F.lit(1)),
+        4,
+    )
+
+
+def quality_expr():
+    """The composite quality score as a reusable Column over a ``text``
+    column -- shared by the driver query (quality_score over the
+    documents table) and the pipeline job's --drop-bottom-quality-pct
+    gate (over extracted content text), so the two cannot drift."""
+    n_tok = F.size(F.expr(_TOKENS))
+    return F.round(
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + _stop_ratio_expr() * 0.3
+        + (1 - _punct_ratio_expr()) * 0.3,
+        4,
+    )
+
+
 def quality_score(spark, sf_dir):
     """Composite quality score: length, mean word length, stopword
     ratio, punctuation ratio -- the usual cheap pretraining filters."""
@@ -87,32 +128,9 @@ def quality_score(spark, sf_dir):
         / F.greatest(n_tok, F.lit(1)),
         4,
     )
-    stop_ratio = F.round(
-        F.size(
-            F.filter(
-                toks,
-                lambda x: F.array_contains(
-                    F.expr(_arr_lit(STOPWORDS["en"])), x
-                ),
-            )
-        )
-        / F.greatest(n_tok, F.lit(1)),
-        4,
-    )
-    punct_ratio = F.round(
-        (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9\\s]", ""))
-        )
-        / F.greatest(F.length("text"), F.lit(1)),
-        4,
-    )
-    score = F.round(
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
-        + stop_ratio * 0.3
-        + (1 - punct_ratio) * 0.3,
-        4,
-    )
+    stop_ratio = _stop_ratio_expr()
+    punct_ratio = _punct_ratio_expr()
+    score = quality_expr()
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
@@ -582,6 +600,43 @@ FROM d GROUP BY source ORDER BY source
 
 QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
 N_QBINS = 1000
+
+
+def quality_bin(col) -> "F.Column":
+    """The sketch's integer bin for a 4-dp-rounded quality value --
+    deterministic integer arithmetic, no float bin edges."""
+    return F.expr(
+        f"CAST(round({col} * 10000) AS BIGINT) DIV 10"
+    )
+
+
+def quality_bin_threshold(df: DataFrame, drop_frac: float) -> int:
+    """Distributed 'drop the bottom X%' threshold over a ``quality``
+    column via the same mergeable fixed-bin histogram sketch as
+    :func:`quality_histogram_quantiles`: one <=N_QBINS-key shuffle
+    regardless of corpus size, then the cumulative walk over the
+    collected histogram (bounded at N_QBINS rows -- an O(bins) metric
+    frame, not a data collect).
+
+    Returns the smallest bin whose cumulative count reaches
+    ``ceil(drop_frac * n)``; rows with ``quality_bin(quality) <
+    threshold`` are strictly inside the bottom fraction (ties at the
+    threshold bin are kept, so at most ``drop_frac`` is dropped)."""
+    hist = sorted(
+        (r["bin"], r["n"])
+        for r in df.select(quality_bin("quality").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    total = sum(n for _, n in hist)
+    target = -(-total * drop_frac // 1)  # ceil
+    cum = 0
+    for b, n in hist:
+        cum += n
+        if cum >= target:
+            return int(b)
+    return int(hist[-1][0]) if hist else 0
 
 
 def quality_histogram_quantiles(spark, sf_dir):

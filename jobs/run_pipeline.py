@@ -13,6 +13,11 @@ Stages (the composition a pretraining corpus build runs):
 2. FEATURES  -- content text reassembly, token count, duplicate-bigram
    fraction (repetition gate), md5 content hash: pure columnar over
    the extracted table.
+2b. QUALITY  -- optional data-driven gate (--drop-bottom-quality-pct
+   X): composite quality score per doc, threshold picked by the
+   mergeable histogram sketch (<=1000-key shuffle at any corpus
+   size, no global sort), bottom X% dropped; picked threshold is
+   reported in the summary JSON.
 3. KEEP-SET  -- exact-dedup keep flag (first doc_id per content hash)
    plus quality gates (>= 30 tokens, dup_bigram_frac <= 0.9).
 4. NEAR-DUP  -- the production dedup hierarchy's second rung over the
@@ -44,6 +49,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--min-tokens", type=int, default=30)
     ap.add_argument("--max-dup-bigram", type=float, default=0.9)
+    ap.add_argument(
+        "--drop-bottom-quality-pct", type=float, default=None,
+        help="data-driven gate: drop the bottom X%% of docs by "
+        "composite quality score (threshold picked by the "
+        "distributed histogram sketch, <=1000-key shuffle)",
+    )
     ap.add_argument("--no-near-dup", action="store_true",
                     help="stop at exact dedup (skip stage 4)")
     args = ap.parse_args()
@@ -60,6 +71,7 @@ def main() -> None:
     from boilerpipe_coffee_spark.operators.pretrain import (
         content_features,
         near_dup_keep,
+        quality_gate,
     )
     from boilerpipe_coffee_spark.sources import (
         read_interleaved,
@@ -86,6 +98,20 @@ def main() -> None:
         max_dup_bigram=args.max_dup_bigram,
     )
 
+    # stage 2b: data-driven quality gate -- the feature stage feeds
+    # multiple consumers from here on, so persist before the gate's
+    # histogram action
+    quality_threshold = None
+    persisted = None
+    if args.drop_bottom_quality_pct is not None or not args.no_near_dup:
+        features = features.persist()
+        persisted = features
+    if args.drop_bottom_quality_pct is not None:
+        features, quality_threshold = quality_gate(
+            features, args.drop_bottom_quality_pct
+        )
+        features = features.drop("quality", "passes_quality")
+
     # stage 4: near-dup keepers over the exact-dedup survivors
     if args.no_near_dup:
         training = features.filter(F.col("keep")).drop(
@@ -93,18 +119,14 @@ def main() -> None:
         )
         exact_kept = None
     else:
-        # the feature stage feeds three consumers (cluster resolution's
-        # eager checkpoint, the exact_kept lineage count, the training
-        # write); persist so the expensive stage runs ONCE
-        features = features.persist()
         exact_kept = features.filter(F.col("keep")).count()
         training = near_dup_keep(features).filter(
             F.col("keep_final")
         ).drop("is_canonical", "passes_gates", "keep", "keep_final")
     training_dir = os.path.join(args.output, "training")
     training.write.mode("overwrite").parquet(training_dir)
-    if not args.no_near_dup:
-        features.unpersist()
+    if persisted is not None:
+        persisted.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
     totals = extracted.agg(
@@ -121,6 +143,8 @@ def main() -> None:
     if exact_kept is not None:
         summary["exact_kept"] = exact_kept
         summary["near_dup_dropped"] = exact_kept - kept
+    if quality_threshold is not None:
+        summary["quality_threshold"] = quality_threshold
     print(json.dumps(summary))
     spark.stop()
 

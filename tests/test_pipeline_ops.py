@@ -304,6 +304,61 @@ def test_multimodal_resize_and_frame_sample(spark, t1_df):
             assert png["pixels"] == gif["frames"][src]
 
 
+def test_quality_gate_matches_batch_oracle(spark):
+    """Planted corpus: the sketch-picked 'drop bottom X%' set must
+    equal the batch (sort-everything) oracle's answer."""
+    import math
+
+    from boilerpipe_coffee_spark.operators.pretrain import (
+        content_features,
+        quality_gate,
+    )
+
+    # 120 docs with monotonically varying quality via token count and
+    # punctuation density; duplicate content planted to exercise the
+    # keep interaction
+    words = ("the of and to a in that it is was " * 30).split()
+    rows = []
+    for i in range(120):
+        n = 3 + i
+        text = " ".join(words[:n]) + ("!?;" * (i % 7))
+        rows.append(
+            (
+                f"d{i:03d}",
+                "t",
+                [{"kind": "text", "text": text, "media_ref": None,
+                  "order": 0}],
+                None,
+            )
+        )
+    rows.append(("d999", "t", rows[10][2], None))  # exact dup of d010
+    extracted = spark.createDataFrame(
+        rows,
+        "doc_id string, title string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,`order`:int>>, error string",
+    )
+    features = content_features(extracted, min_tokens=0, max_dup_bigram=1.0)
+    gated, thr = quality_gate(features, 25.0)
+    got = {
+        r.doc_id: (r.quality, r.passes_quality, r.keep)
+        for r in gated.collect()
+    }
+
+    # batch oracle: bin every quality, sort, threshold at ceil(25% * n)
+    bins = {d: round(round(q * 10000) // 10) for d, (q, _, _) in got.items()}
+    srt = sorted(bins.values())
+    thr_bin = srt[math.ceil(0.25 * len(srt)) - 1]
+    assert thr == thr_bin / 1000.0
+    for d, (q, passes, keep) in got.items():
+        assert passes == (bins[d] >= thr_bin), d
+    dropped = [d for d, (_, p, _) in got.items() if not p]
+    assert 0 < len(dropped) <= 0.25 * len(got)
+    # quality folds into keep: a passing doc keeps only if canonical
+    assert got["d999"][2] is False or got["d010"][2] is False
+    # and a dropped doc never keeps
+    assert all(not got[d][2] for d in dropped)
+
+
 def test_extract_balanced_matches_plain_extract(spark):
     from boilerpipe_coffee_spark.operators.pipeline import extract_balanced
 
