@@ -217,6 +217,22 @@ def dedup_minhash_lsh(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     )
 
 
+def _doc_id_sql_type(df: DataFrame) -> str:
+    """Output-schema type for doc_id in the vectorized signature
+    stages.  Only string/int/bigint are supported -- anything else
+    (decimal, struct, ...) must be rejected loudly rather than
+    silently mis-declared as bigint in the mapInPandas schema."""
+    dt = dict(df.dtypes)["doc_id"]
+    if dt == "string":
+        return "string"
+    if dt in ("int", "bigint", "smallint", "tinyint"):
+        return "bigint"
+    raise TypeError(
+        f"unsupported doc_id dtype {dt!r} for the signature stage "
+        "(expected string or an integer type)"
+    )
+
+
 def minhash_sigs_df(docs_in: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, mh0..mh7): the 8 minhash signatures,
     computed in ONE map-side Arrow pass.
@@ -270,9 +286,9 @@ def minhash_sigs_df(docs_in: DataFrame) -> DataFrame:
                 out[f"mh{i}"] = [s[i] for s in sigs]
             yield pd.DataFrame(out)
 
-    schema = "doc_id " + (
-        "string" if dict(docs_in.dtypes)["doc_id"] == "string" else "bigint"
-    ) + "".join(f", mh{i} bigint" for i in range(n_sig))
+    schema = "doc_id " + _doc_id_sql_type(docs_in) + "".join(
+        f", mh{i} bigint" for i in range(n_sig)
+    )
     return docs_in.select("doc_id", "text").mapInPandas(sig_fn, schema)
 
 
@@ -419,9 +435,7 @@ def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
                 sigs.append(int(powers[votes > 0].sum()))
             yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
 
-    schema = "doc_id " + (
-        "string" if dict(docs_in.dtypes)["doc_id"] == "string" else "bigint"
-    ) + ", simhash bigint"
+    schema = "doc_id " + _doc_id_sql_type(docs_in) + ", simhash bigint"
     return docs_in.select("doc_id", "text").mapInPandas(sig_fn, schema)
 
 

@@ -225,6 +225,29 @@ EMB_BUCKET_CAP = 512
 EMB_NEARDUP_THRESHOLD = 0.45
 
 
+def _stack_vectors(col: pd.Series) -> np.ndarray:
+    """Stack an Arrow batch of embedding vectors into (n, DIM) float64,
+    failing with a data-validation message (instead of an opaque numpy
+    shape error deep inside the UDF) when a row is null or ragged."""
+    vals = col.to_numpy()
+    bad = [i for i, v in enumerate(vals) if v is None]
+    if bad:
+        raise ValueError(
+            f"embedding column contains {len(bad)} null vector(s) in "
+            f"this batch (first at batch row {bad[0]}); filter nulls "
+            "before the LSH/cosine stage"
+        )
+    lens = {len(v) for v in vals} if len(vals) else set()
+    if len(lens) > 1 or (lens and lens != {DIM}):
+        raise ValueError(
+            f"embedding vectors must all be length {DIM}; batch has "
+            f"lengths {sorted(lens)}"
+        )
+    if not len(vals):
+        return np.empty((0, DIM))
+    return np.stack(vals)
+
+
 def _bucket_udf():
     """Arrow-vectorized bucket assignment: ONE numpy matmul computes
     all T*B signed projections per batch, vs 48 interpreted
@@ -243,7 +266,7 @@ def _bucket_udf():
 
     @pandas_udf("array<int>")
     def buckets(col: pd.Series) -> pd.Series:
-        v = np.stack(col.to_numpy())  # (n, DIM) float64
+        v = _stack_vectors(col)  # (n, DIM) float64
         bits = (v @ w.T >= 0).astype(np.int64)  # (n, T*B)
         per_table = bits.reshape(
             len(v), N_TABLES, PLANES_PER_TABLE
@@ -261,8 +284,8 @@ def _cosine_udf():
 
     @pandas_udf("double")
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.stack(va.to_numpy())
-        b = np.stack(vb.to_numpy())
+        a = _stack_vectors(va)
+        b = _stack_vectors(vb)
         num = np.einsum("ij,ij->i", a, b)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         return pd.Series(num / den)

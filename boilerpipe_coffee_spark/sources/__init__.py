@@ -85,9 +85,15 @@ def read_interleaved_jsonl(spark: SparkSession, path: str) -> DataFrame:
     per line).  An explicit schema keeps the reader single-pass (no
     inference scan) and coerces types to INTERLEAVED_SCHEMA so the
     extraction operators accept the frame unchanged; Spark's json
-    source decompresses .gz by extension."""
-    return spark.read.schema(INTERLEAVED_SCHEMA).json(path).select(
-        "doc_id", "spans"
+    source decompresses .gz by extension.  FAILFAST because this is a
+    pinned interchange contract: a corrupt/truncated line must abort
+    the read, not flow into extraction as an 'empty doc' with null
+    doc_id/spans (the PERMISSIVE default)."""
+    return (
+        spark.read.schema(INTERLEAVED_SCHEMA)
+        .option("mode", "FAILFAST")
+        .json(path)
+        .select("doc_id", "spans")
     )
 
 

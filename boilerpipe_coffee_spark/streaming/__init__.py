@@ -177,6 +177,7 @@ def _work_dirs(kind: str, sf_dir: str):
     import hashlib
     import os
     import shutil
+    import time
 
     # tag includes the pid: two concurrent sessions (pytest + a driver
     # sim) on the same sf_dir must not rmtree each other's live
@@ -190,7 +191,16 @@ def _work_dirs(kind: str, sf_dir: str):
             pid = int(stale.rsplit("_", 1)[-1])
         except ValueError:
             continue
-        if pid != os.getpid() and not os.path.exists(f"/proc/{pid}"):
+        if pid == os.getpid():
+            continue
+        # liveness via /proc/<pid>, plus an mtime backstop: a recycled
+        # pid belonging to an unrelated live process would otherwise
+        # pin a dead session's corpus copy in /tmp forever
+        try:
+            age = time.time() - os.path.getmtime(stale)
+        except OSError:
+            age = 0.0
+        if not os.path.exists(f"/proc/{pid}") or age > 86400:
             shutil.rmtree(stale, ignore_errors=True)
     base = f"/tmp/bpc_stream_{kind}_{h}_{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
