@@ -56,11 +56,18 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is configured on this session."""
+def iceberg_available(
+    spark: SparkSession, catalog: str | None = None
+) -> bool:
+    """True when an Iceberg catalog is configured on this session --
+    either the given ``catalog`` name or one of the conventional
+    defaults."""
+    names = (
+        [catalog] if catalog else ["spark_catalog", "local"]
+    )
     try:
-        for key in ("spark.sql.catalog.spark_catalog", "spark.sql.catalog.local"):
-            impl = spark.conf.get(key, None)
+        for name in names:
+            impl = spark.conf.get(f"spark.sql.catalog.{name}", None)
             if impl and "iceberg" in impl.lower():
                 return True
     except Exception:
@@ -68,10 +75,18 @@ def iceberg_available(spark: SparkSession) -> bool:
     return False
 
 
+def _table_catalog(identifier: str) -> str | None:
+    """Catalog component of a dotted table identifier (None for paths)."""
+    if "/" in identifier or "." not in identifier:
+        return None
+    return identifier.split(".", 1)[0]
+
+
 def read_interleaved(spark: SparkSession, source: str) -> DataFrame:
     """Scan the interleaved-document table, projecting only the two
     needed columns so DSv2 column pruning reaches the file scan."""
-    if iceberg_available(spark) and "/" not in source:
+    cat = _table_catalog(source)
+    if "/" not in source and iceberg_available(spark, cat):
         df = spark.read.format("iceberg").load(source)
     else:
         df = spark.read.parquet(source)
@@ -103,7 +118,7 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
     partitioning -> partition pruning on doc_id lookups).  Parquet
     fallback: plain append."""
     spark = df.sparkSession
-    if iceberg_available(spark) and "/" not in target:
+    if "/" not in target and iceberg_available(spark, _table_catalog(target)):
         # branch on explicit existence -- an append failure (schema
         # mismatch, permissions) must propagate, not be masked by a
         # create-on-existing-table fallback
