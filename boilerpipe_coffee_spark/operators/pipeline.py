@@ -90,8 +90,8 @@ def run_partitioned(
     serially, so per-bucket wall is not a meaningful quantity).
 
     ``balanced=True`` routes giant documents through
-    :func:`extract_balanced` (see its cost model) -- for ingest layouts
-    known to cluster giants.
+    :func:`extract_balanced` (single input scan; see its cost model) --
+    for ingest layouts known to cluster giants.
 
     Returns summary {buckets_run, buckets_skipped, docs_out, errors}.
     """
@@ -130,13 +130,19 @@ def run_partitioned(
     total_in = sum(in_counts.values())
     if total_in:
         run_extract = extract_balanced if balanced else extract
-        result = with_bucket(run_extract(part.drop("bucket"), extractor))
+        extracted = run_extract(part.drop("bucket"), extractor)
+        result = with_bucket(extracted)
         (
             result.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(data_dir)
         )
+        # the balanced path persists its split intermediate for the
+        # duration of the pass; release it once the data is on disk
+        mid = getattr(extracted, "_balanced_intermediate", None)
+        if mid is not None:
+            mid.unpersist()
     wall_ms = int((time.time() - t0) * 1000)
 
     # a fully-empty pending set wrote nothing (partitionBy emits no
@@ -188,46 +194,170 @@ def run_partitioned(
     }
 
 
+_BALANCED_MID_DDL = (
+    "doc_id string, title string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,"
+    "`order`:int>>, error string, "
+    "raw array<struct<kind:string,text:string,media_ref:string,"
+    "offset:int>>, done boolean"
+)
+
+
 def extract_balanced(
     df: DataFrame,
     extractor: str = "ArticleExtractor",
     giant_chars: int = 200_000,
+    probe=None,
 ) -> DataFrame:
-    """Skew-aware extraction: giant documents (HTML length above
-    ``giant_chars``) are routed to their own round-robin-repartitioned
-    pass so each lands on its own task, while the normal population
-    flows through the zero-shuffle path untouched.
+    """Skew-aware extraction in a SINGLE input scan: one ``mapInArrow``
+    pass sizes every document as it streams by, extracts the normal
+    population inline (zero shuffle, exactly the production path), and
+    passes giant documents (HTML length above ``giant_chars``) through
+    RAW with a ``done=false`` flag.  The pass output -- extracted text
+    plus the tiny raw-giant subset, i.e. output-sized, not
+    corpus-sized -- is persisted to executor disk; the giants are then
+    round-robin-repartitioned so each lands on its own task and
+    extracted from the persisted blocks.
 
     The production map has no shuffle, so "skew" means a straggler task
-    that happened to pack several giant docs; spreading only the giant
-    subset costs a shuffle of that (tiny) subset, never of the corpus.
-    The per-doc work stays bounded either way -- this bounds the
-    per-TASK work.  (SURVEY.md section 4 'shuffle/skew from giant
-    documents'.)
+    that happened to pack several giant docs; this bounds the per-TASK
+    work while reading the corpus ONCE (the r1-r3 two-filter-branch
+    form paid 2x read IO; asserted by the accumulator test).  The only
+    extra IO is the persisted intermediate, which is extraction OUTPUT
+    plus raw giants -- a small fraction of the input scan it replaces.
+    (SURVEY.md section 4 'shuffle/skew from giant documents'.)
 
-    Cost model (deliberate): the two filter branches evaluate the size
-    expression over the input twice = 2x read IO of the two needed
-    columns.  The single-scan alternative is a full-corpus repartition
-    (1x read + 1x shuffle write + 1x shuffle read + network), which is
-    strictly worse for a map-only job; Spark has no multi-output
-    operator that could split one scan without caching the corpus.
+    The persisted intermediate lives until the caller releases it: the
+    returned frame carries it as ``_balanced_intermediate`` and
+    ``run_partitioned`` unpersists after its write commits.
+
+    ``probe``: optional accumulator, incremented once per INPUT
+    document seen by the sizing pass (test hook for the
+    single-scan assertion).
+
     Default OFF in run_partitioned -- use when the layout is known to
     cluster giants (measured +49% there, a wash on uniform layouts).
     """
-    from .arrow_extract import extract_arrow
+    from typing import Iterator
 
-    size_expr = F.aggregate(
-        F.filter(F.col("spans"), lambda s: s.kind == F.lit("text")),
-        F.lit(0),
-        lambda acc, s: acc + F.coalesce(F.length(s.text), F.lit(0)),
+    import pyarrow as pa
+    from pyspark.storagelevel import StorageLevel
+
+    from .arrow_extract import _extract_one, _OUT_SPAN, extract_arrow
+
+    _IN_SPAN = pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("text", pa.string()),
+            pa.field("media_ref", pa.string()),
+            pa.field("offset", pa.int32()),
+        ]
     )
-    sized = df.withColumn("_html_chars", size_expr)
-    normal = sized.filter(F.col("_html_chars") <= giant_chars).drop("_html_chars")
-    giant = (
-        sized.filter(F.col("_html_chars") > giant_chars)
-        .drop("_html_chars")
+    mid_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.string()),
+            pa.field("title", pa.string()),
+            pa.field("spans", pa.list_(_OUT_SPAN)),
+            pa.field("error", pa.string()),
+            pa.field("raw", pa.list_(_IN_SPAN)),
+            pa.field("done", pa.bool_()),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            spans_col = batch.column("spans")
+            in_offsets = spans_col.offsets.to_pylist()
+            valid = spans_col.is_valid().to_pylist()
+            values = spans_col.values
+            kinds = values.field("kind").to_pylist()
+            texts = values.field("text").to_pylist()
+            refs = values.field("media_ref").to_pylist()
+            offs = values.field("offset").to_pylist()
+
+            titles, errors, dones = [], [], []
+            flat_k, flat_t, flat_r, flat_o = [], [], [], []
+            out_lo = [0]
+            raw_k, raw_t, raw_r, raw_off = [], [], [], []
+            raw_lo = [0]
+            for i in range(len(doc_ids)):
+                lo, hi = (
+                    (in_offsets[i], in_offsets[i + 1]) if valid[i] else (0, 0)
+                )
+                if probe is not None:
+                    probe.add(1)
+                size = 0
+                for j in range(lo, hi):
+                    if kinds[j] == "text" and texts[j]:
+                        size += len(texts[j])
+                if size <= giant_chars:
+                    title, ok, ot, orf, err = _extract_one(
+                        kinds, texts, refs, offs, lo, hi, extractor
+                    )
+                    titles.append(title)
+                    errors.append(err)
+                    dones.append(True)
+                    flat_k.extend(ok)
+                    flat_t.extend(ot)
+                    flat_r.extend(orf)
+                    flat_o.extend(range(len(ok)))
+                else:
+                    titles.append(None)
+                    errors.append(None)
+                    dones.append(False)
+                    raw_k.extend(kinds[lo:hi])
+                    raw_t.extend(texts[lo:hi])
+                    raw_r.extend(refs[lo:hi])
+                    raw_off.extend(offs[lo:hi])
+                out_lo.append(len(flat_k))
+                raw_lo.append(len(raw_k))
+
+            out_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(flat_k, pa.string()),
+                    pa.array(flat_t, pa.string()),
+                    pa.array(flat_r, pa.string()),
+                    pa.array(flat_o, pa.int32()),
+                ],
+                fields=list(_OUT_SPAN),
+            )
+            raw_struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(raw_k, pa.string()),
+                    pa.array(raw_t, pa.string()),
+                    pa.array(raw_r, pa.string()),
+                    pa.array(raw_off, pa.int32()),
+                ],
+                fields=list(_IN_SPAN),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, pa.string()),
+                    pa.array(titles, pa.string()),
+                    pa.ListArray.from_arrays(
+                        pa.array(out_lo, pa.int32()), out_struct
+                    ),
+                    pa.array(errors, pa.string()),
+                    pa.ListArray.from_arrays(
+                        pa.array(raw_lo, pa.int32()), raw_struct
+                    ),
+                    pa.array(dones, pa.bool_()),
+                ],
+                schema=mid_schema,
+            )
+
+    mid = df.mapInArrow(run, schema=_BALANCED_MID_DDL).persist(
+        StorageLevel.DISK_ONLY
+    )
+    normals = mid.filter(F.col("done")).select(
+        "doc_id", "title", "spans", "error"
+    )
+    giants = (
+        mid.filter(~F.col("done"))
+        .select("doc_id", F.col("raw").alias("spans"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
-    return extract_arrow(normal, extractor).unionByName(
-        extract_arrow(giant, extractor)
-    )
+    out = normals.unionByName(extract_arrow(giants, extractor))
+    out._balanced_intermediate = mid
+    return out

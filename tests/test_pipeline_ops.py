@@ -376,6 +376,33 @@ def test_extract_balanced_matches_plain_extract(spark):
         assert (a.title, sa, a.error) == (b.title, sb, b.error), doc_id
 
 
+def test_extract_balanced_single_scan(spark):
+    """r4: the balanced path sizes, splits, AND extracts normals in ONE
+    pass over the input -- the accumulator must count each input doc
+    exactly once even though giants take the repartitioned detour."""
+    from boilerpipe_coffee_spark.operators.pipeline import extract_balanced
+
+    n = 80
+    acc = spark.sparkContext.accumulator(0)
+    docs = synth_interleaved(spark, n, seed=11, giant_max=400, partitions=4)
+    out = extract_balanced(
+        docs, "ArticleExtractor", giant_chars=20_000, probe=acc
+    )
+    rows = out.collect()
+    assert len(rows) == n
+    assert acc.value == n, (
+        f"input docs processed {acc.value} != {n} (not single-scan)"
+    )
+    # both routes exercised on this corpus
+    from pyspark.sql import functions as F
+
+    mid = out._balanced_intermediate
+    split = {r.done: r.n for r in
+             mid.groupBy("done").agg(F.count("*").alias("n")).collect()}
+    assert split.get(True, 0) > 0 and split.get(False, 0) > 0
+    mid.unpersist()
+
+
 def test_canola_extractor_quarantines_every_doc(spark):
     """CanolaExtractor crashes in the reference (quirk Q10); the
     pipeline must quarantine every document rather than fail."""
