@@ -85,6 +85,12 @@ _ATTR_FAST = _re.compile(
 
 _SPECIAL_NAME = {1: "script", 2: "style"}
 
+# tag-name scans as compiled regexes (C-level) instead of
+# char-at-a-time python loops; both stop exactly where the Tokenizer's
+# IN_TAG_NAME / IN_CLOSING_TAG_NAME states do
+_OPEN_NAME = _re.compile(r"[^/> \n\t\f\r]*")
+_CLOSE_NAME = _re.compile(r"[^> \n\t\f\r]*")
+
 
 class SaxScanner:
     """One reusable scanner; ``parse(html, handler)`` is stateless."""
@@ -101,11 +107,12 @@ class SaxScanner:
             if oic is not None:
                 while stack and stack[-1] in oic:
                     on_close(stack.pop())
-            if name not in VOID_ELEMENTS:
-                stack.append(name)
-            on_open(name)
             if name in VOID_ELEMENTS:
+                on_open(name)
                 on_close(name)
+            else:
+                stack.append(name)
+                on_open(name)
 
         def emit_close(name: str) -> None:
             # Parser.js:151-174 onclosetag
@@ -252,9 +259,7 @@ class SaxScanner:
                     i = j + 1
                     continue
                 # closing tag name: until '>' or whitespace
-                k = j
-                while k < n and html[k] != ">" and html[k] not in _WS:
-                    k += 1
+                k = _CLOSE_NAME.match(html, j).end()
                 if lt > pos:
                     on_text(html[pos:lt], pos)
                 emit_close(html[j:k].lower())
@@ -309,9 +314,7 @@ class SaxScanner:
             # --- open tag ---
             if lt > pos:
                 on_text(html[pos:lt], pos)
-            k = lt + 1
-            while k < n and html[k] != "/" and html[k] != ">" and html[k] not in _WS:
-                k += 1
+            k = _OPEN_NAME.match(html, lt + 1).end()
             name = html[lt + 1 : k].lower()
             if k >= n:
                 # EOF in IN_TAG_NAME: onopentagname fires (stack push +

@@ -265,8 +265,12 @@ class BoilerpipeParser:
         self._clear_text_buffer()
 
     def _clear_text_buffer(self) -> None:
-        self.text_buffer = []
-        self.token_buffer = []
+        # most flushes arrive with both buffers already empty -- skip
+        # the two list allocations in that case
+        if self.text_buffer:
+            self.text_buffer = []
+        if self.token_buffer:
+            self.token_buffer = []
         self.block_src_pos = -1
 
 
