@@ -203,6 +203,14 @@ DEMOTED = [
     "dedup_ngram_jaccard",
     "udtf_sentence_explode",
 ]
+# Oracle-backed queries added AFTER the r4 window was frozen: they sit
+# past the cap (checked by the full test suite, which parametrizes
+# over every oracle key) so they cannot displace the 50 in-window rows.
+EXTRA = [
+    "events_salted_agg",
+    "events_json_props",
+    "doc_chunks",
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -226,13 +234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pool.update(_extraction_queries())
 
     rows_only = set(pool) - set(oracle_sql())
+    late = set(DEMOTED) | set(EXTRA)
     out: dict[str, Callable] = {}
     for name in PRIORITY:
         out[name] = pool[name]
     for name, fn in pool.items():
-        if name not in out and name not in DEMOTED and name not in rows_only:
+        if name not in out and name not in late and name not in rows_only:
             out[name] = fn
-    for name in DEMOTED:
+    for name in DEMOTED + EXTRA:
         out[name] = pool[name]
     for name, fn in pool.items():
         if name not in out:

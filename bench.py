@@ -104,6 +104,8 @@ SUITE = [
     "numwords_rules_classify",
     "asof_last_click_before_purchase",
     "range_join_nearby_events",
+    "events_salted_agg",
+    "events_json_props",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -127,6 +129,7 @@ SUITE = [
     "contamination_check",
     "packing_stats",
     "quality_histogram_quantiles",
+    "doc_chunks",
 ]
 
 

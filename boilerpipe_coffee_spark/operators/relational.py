@@ -1085,6 +1085,79 @@ SHARED_SQL_ORACLE = SHARED_ANSI_SQL.replace(
 )
 
 
+def events_salted_agg(spark, sf_dir, n_salts: int = 16):
+    """Two-phase salted aggregation -- the hot-key skew pattern at
+    100 TB: a single dominant group (one event_type carrying most of
+    the corpus) would otherwise funnel into ONE reducer.  Phase 1
+    splits every group into ``n_salts`` sub-groups keyed by a hash of
+    the row id (map-side partial aggregation still applies, so the
+    first shuffle stays combiner-sized), phase 2 merges the partials --
+    the second shuffle moves at most n_groups * n_salts rows regardless
+    of corpus size.  All aggregates here are reassociable, so results
+    are identical to the direct groupBy; the oracle IS the direct
+    form."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+        F.max("value").alias("pmax"),
+        F.min("value").alias("pmin"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("psum"), 2).alias("total_value"),
+            F.round(F.max("pmax"), 4).alias("max_value"),
+            F.round(F.min("pmin"), 4).alias("min_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 4) AS max_value,
+       round(min(value), 4) AS min_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_json_props(spark, sf_dir):
+    """Semi-structured property extraction without a UDF:
+    ``get_json_object`` is a JVM expression, so the JSON parse stays
+    inside whole-stage codegen (no python in the hot path)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 4).alias("k_avg"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0)).alias("k_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+WITH p AS (
+  SELECT event_type, json_extract_string(props, '$.k')::INT AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(k)::BIGINT AS k_sum, round(avg(k), 4) AS k_avg,
+       sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END)::BIGINT AS k_high
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "shared_sql_surface": shared_sql_surface,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1112,6 +1185,8 @@ QUERIES = {
     "min_clause_docs": min_clause_docs,
     "split_sentences": split_sentences,
     "udtf_sentence_explode": udtf_sentence_explode,
+    "events_salted_agg": events_salted_agg,
+    "events_json_props": events_json_props,
 }
 
 ORACLES = {
@@ -1141,4 +1216,6 @@ ORACLES = {
     "min_clause_docs": MIN_CLAUSE_SQL,
     "split_sentences": SPLIT_SENTENCES_SQL,
     "udtf_sentence_explode": SPLIT_SENTENCES_SQL,
+    "events_salted_agg": SALTED_AGG_SQL,
+    "events_json_props": JSON_PROPS_SQL,
 }

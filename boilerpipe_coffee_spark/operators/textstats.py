@@ -598,6 +598,58 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+def doc_chunks(spark, sf_dir):
+    """Context-window chunking for training prep: one output row per
+    CONTEXT_LEN-token chunk of each document (the materialized form of
+    what ``packing_stats`` only counts).  The expansion is a
+    ``sequence`` + ``posexplode`` inside the row -- no join, no
+    shuffle; linear in output size at any corpus scale.  Zero-token
+    documents contribute zero chunks."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(F.expr(_TOKENS))
+    d = (
+        docs.select("doc_id", nt.alias("n_tokens"))
+        .withColumn(
+            "n_chunks",
+            F.ceil(F.col("n_tokens") / F.lit(float(CONTEXT_LEN))).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("n_chunks") > 0)
+    )
+    chunk_tokens = F.least(
+        F.lit(CONTEXT_LEN).cast("bigint"),
+        F.col("n_tokens") - F.col("chunk_idx") * CONTEXT_LEN,
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id", "chunk_idx", chunk_tokens.alias("chunk_tokens")
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKENS_DUCK}) AS n_tokens,
+         ceil(len({_TOKENS_DUCK}) / {CONTEXT_LEN}.0)::BIGINT AS n_chunks
+  FROM documents
+)
+SELECT d.doc_id, t.i AS chunk_idx,
+       least({CONTEXT_LEN}, d.n_tokens - t.i * {CONTEXT_LEN})::BIGINT
+         AS chunk_tokens
+FROM d JOIN range(0, 1000000) t(i) ON t.i < d.n_chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUANTILE_QS = (0.25, 0.5, 0.75, 0.9)
 N_QBINS = 1000
 
@@ -723,6 +775,7 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "repetition_stats": repetition_stats,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLES = {
@@ -737,4 +790,5 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "repetition_stats": REPETITION_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
 }

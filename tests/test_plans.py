@@ -99,3 +99,33 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # the big side must not shuffle for the join itself
     assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_is_two_phase(spark):
+    """The skew-safe aggregation must plan as TWO exchange rounds
+    (event_type+salt, then event_type) with partial aggregation before
+    each -- and no join."""
+    from boilerpipe_coffee_spark.operators.relational import (
+        events_salted_agg,
+    )
+
+    plan = _plan(events_salted_agg(spark, SF))
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges >= 2, plan
+    assert "partial" in plan.lower()
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan, join
+
+
+def test_doc_chunks_is_join_free(spark):
+    """Chunk expansion happens inside the row (sequence + explode) --
+    no join, no extra shuffle beyond the presentation sort."""
+    from boilerpipe_coffee_spark.operators.textstats import doc_chunks
+
+    plan = _plan(doc_chunks(spark, SF))
+    assert "Generate explode" in plan or "Generate" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join not in plan, join
