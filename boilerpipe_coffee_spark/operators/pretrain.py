@@ -108,6 +108,48 @@ def quality_gate(
     return gated, thr_bin / float(N_QBINS)
 
 
+def emit_chunks(training: DataFrame, context_len: int | None = None) -> DataFrame:
+    """Materialize context-window training chunks from kept documents:
+    one row per ``context_len``-token window with the actual token
+    slice re-joined as ``chunk_text`` (whitespace-normalized -- chunks
+    are tokenizer input, not display text).  Join-free: ``sequence`` +
+    ``explode`` inside the row, linear in output size; the chunking
+    arithmetic is shared with the ``doc_chunks`` driver query."""
+    from ..functions import TOKENS
+    from .textstats import CONTEXT_LEN
+
+    cl = context_len or CONTEXT_LEN
+    d = (
+        training.select("doc_id", F.expr(TOKENS).alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "n_chunks",
+            F.ceil(F.col("n_tokens") / F.lit(float(cl))).cast("bigint"),
+        )
+    )
+    start = (F.col("chunk_idx") * cl + 1).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "toks",
+            "n_tokens",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(
+                F.lit(cl).cast("bigint"),
+                F.col("n_tokens") - F.col("chunk_idx") * cl,
+            ).alias("chunk_tokens"),
+            F.concat_ws(" ", F.slice("toks", start, cl)).alias("chunk_text"),
+        )
+    )
+
+
 def near_dup_keep(
     features: DataFrame, bucket_cap: int = 64, max_iters: int = 20
 ) -> DataFrame:

@@ -24,6 +24,10 @@ Stages (the composition a pretraining corpus build runs):
    stage-3 survivors: MinHash-LSH candidate pairs (banded, bucket-
    capped) -> connected components -> one keeper per near-dup cluster
    (--no-near-dup to skip) -> <out>/training/ parquet.
+5. OPTIONAL  -- --emit-chunks materializes context-window training
+   chunks (token slices re-joined as chunk_text) -> <out>/chunks/;
+   --with-media decodes media payloads (real PNG/WAV/GIF codecs,
+   corrupt rows quarantined as null features) -> <out>/media/.
 
 Stage 1 resumes from its commit markers on restart; stages 2-4 are a
 deterministic function of stage 1's output and rerun idempotently
@@ -57,6 +61,12 @@ def main() -> None:
     )
     ap.add_argument("--no-near-dup", action="store_true",
                     help="stop at exact dedup (skip stage 4)")
+    ap.add_argument("--emit-chunks", action="store_true",
+                    help="stage 5: materialize context-window training "
+                    "chunks from the kept docs -> <out>/chunks/")
+    ap.add_argument("--with-media", action="store_true",
+                    help="decode media payloads from the extracted "
+                    "corpus (PNG/WAV/GIF features) -> <out>/media/")
     args = ap.parse_args()
     if not args.synth and not args.input:
         ap.error("one of --input or --synth is required")
@@ -129,6 +139,30 @@ def main() -> None:
         persisted.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
+
+    # stage 5 (optional): materialized training chunks + media features
+    n_chunks = n_media = media_quarantined = None
+    if args.emit_chunks:
+        from boilerpipe_coffee_spark.operators.pretrain import emit_chunks
+
+        chunks_dir = os.path.join(args.output, "chunks")
+        emit_chunks(spark.read.parquet(training_dir)).write.mode(
+            "overwrite"
+        ).parquet(chunks_dir)
+        n_chunks = spark.read.parquet(chunks_dir).count()
+    if args.with_media:
+        from boilerpipe_coffee_spark.operators.multimodal import (
+            decode_features,
+            media_payloads,
+        )
+
+        media_dir = os.path.join(args.output, "media")
+        decode_features(media_payloads(extracted)).write.mode(
+            "overwrite"
+        ).parquet(media_dir)
+        m = spark.read.parquet(media_dir)
+        n_media = m.count()
+        media_quarantined = m.filter(F.col("n_bytes").isNull()).count()
     totals = extracted.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("q"),
@@ -145,6 +179,11 @@ def main() -> None:
         summary["near_dup_dropped"] = exact_kept - kept
     if quality_threshold is not None:
         summary["quality_threshold"] = quality_threshold
+    if n_chunks is not None:
+        summary["chunks"] = n_chunks
+    if n_media is not None:
+        summary["media_rows"] = n_media
+        summary["media_quarantined"] = media_quarantined
     print(json.dumps(summary))
     spark.stop()
 

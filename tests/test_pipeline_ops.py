@@ -359,6 +359,44 @@ def test_quality_gate_matches_batch_oracle(spark):
     assert all(not got[d][2] for d in dropped)
 
 
+def test_emit_chunks_round_trips_tokens(spark):
+    """Every doc's chunk_texts, concatenated in chunk order, must
+    re-tokenize to exactly the doc's token sequence, and chunk token
+    counts must follow the ceil/least arithmetic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.functions import TOKENS
+    from boilerpipe_coffee_spark.operators.pretrain import emit_chunks
+
+    texts = [
+        ("d1", "one two three four five six seven"),
+        ("d2", "a"),
+        ("d3", ""),  # zero tokens -> zero chunks
+        ("d4", " ".join(f"tok{i}" for i in range(11))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    cl = 3
+    chunks = emit_chunks(df, context_len=cl).collect()
+    by_doc = {}
+    for c in sorted(chunks, key=lambda c: (c.doc_id, c.chunk_idx)):
+        by_doc.setdefault(c.doc_id, []).append(c)
+    toks = {
+        r.doc_id: r.t
+        for r in df.select("doc_id", F.expr(TOKENS).alias("t")).collect()
+    }
+    assert "d3" not in by_doc
+    for doc_id, cs in by_doc.items():
+        expect = toks[doc_id]
+        assert len(cs) == math.ceil(len(expect) / cl)
+        rejoined = " ".join(c.chunk_text for c in cs).split(" ")
+        assert rejoined == expect, doc_id
+        assert [c.chunk_tokens for c in cs] == [
+            min(cl, len(expect) - i * cl) for i in range(len(cs))
+        ]
+
+
 def test_extract_balanced_matches_plain_extract(spark):
     from boilerpipe_coffee_spark.operators.pipeline import extract_balanced
 
