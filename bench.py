@@ -73,6 +73,14 @@ _BENCH_CONF = {
     # at bench scale files are ~1 MB, production uses the default 128m
     "spark.sql.files.maxPartitionBytes": "4m",
     "spark.sql.files.openCostInBytes": "262144",
+    # ContextCleaner only reclaims shuffle files/broadcasts after a
+    # driver GC; the default periodicGC (30 min) never fires within a
+    # bench run, so ~110 queries of shuffle state accumulate and
+    # inflate late-suite timings (r4 diagnosis: lsh_pairs 7.3 s
+    # in-suite vs ~3-5 s with cleanup).  20 s keeps the long-lived
+    # session at steady state -- the same setting a production driver
+    # hosting many queries would run with.
+    "spark.cleaner.periodicGC.interval": "20s",
 }
 
 
