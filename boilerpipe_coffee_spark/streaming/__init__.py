@@ -667,11 +667,52 @@ ORDER BY p.user_id, purchase_id, click_id
 """
 
 
+def streaming_extract_spans(spark, sf_dir, n_docs: int = 120):
+    """The CORE operator on the streaming axis: the interleaved corpus
+    replayed as a file stream (several docs per micro-batch) through
+    the SAME zero-shuffle mapInArrow extraction the batch path runs --
+    Structured Streaming permits stateless Arrow transforms, so the
+    production operator needs no streaming variant.  availableNow
+    drains the backlog to a parquet sink; the collected spans are
+    EXACTLY the batch extraction's (asserted per-value in
+    tests/test_streaming.py -- extraction has no SQL form, so the
+    driver row is rows-only like the batch extract_* queries)."""
+    from ..sources import synth_interleaved
+
+    drops, out, ckpt = _work_dirs("extract", sf_dir)
+    docs = synth_interleaved(spark, n_docs, seed=42)
+    docs.repartition(6).write.parquet(drops)
+    stream = read_interleaved_stream(spark, drops, max_files_per_trigger=2)
+    with _scoped_conf(spark, _STREAM_CONFS):
+        q = write_stream(
+            extract_stream(stream, "ArticleExtractor"), out, ckpt
+        )
+        q.awaitTermination()
+    extracted = spark.read.parquet(out)
+    return (
+        extracted.select(
+            "doc_id", "title", "error",
+            F.posexplode_outer("spans").alias("pos", "s"),
+        )
+        .select(
+            "doc_id", "title", "error",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.order").alias("out_order"),
+        )
+        .orderBy("doc_id", "out_order")
+    )
+
+
 QUERIES = {
     "streaming_windowed_event_counts": streaming_windowed_event_counts,
     "streaming_dedup_first_seen": streaming_dedup_first_seen,
     "streaming_sessionize": streaming_sessionize,
     "streaming_click_purchase_join": streaming_click_purchase_join,
+    # rows-only (extraction has no SQL oracle; equality vs the batch
+    # path is test-asserted)
+    "streaming_extract_spans": streaming_extract_spans,
 }
 
 # the batch window-based sessionization oracle IS the streaming

@@ -49,3 +49,38 @@ def test_streaming_matches_batch(spark, tmp_path_factory):
     q2 = write_stream(extract_stream(stream, "ArticleExtractor"), out, ckpt)
     q2.awaitTermination(60)
     assert spark.read.parquet(out).count() == len(docs)
+
+
+def test_streaming_extract_spans_equals_batch(spark):
+    """The driver-contract streaming extraction query must produce
+    EXACTLY the batch extraction's exploded span rows (same corpus,
+    same extractor) -- micro-batch boundaries must be invisible."""
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.operators import extract
+    from boilerpipe_coffee_spark.sources import synth_interleaved
+    from boilerpipe_coffee_spark.streaming import streaming_extract_spans
+
+    got = [
+        tuple(r)
+        for r in streaming_extract_spans(
+            spark, "/root/testdata/sf0.001", n_docs=80
+        ).collect()
+    ]
+    batch = (
+        extract(synth_interleaved(spark, 80, seed=42), "ArticleExtractor")
+        .select(
+            "doc_id", "title", "error",
+            F.posexplode_outer("spans").alias("pos", "s"),
+        )
+        .select(
+            "doc_id", "title", "error",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.order").alias("out_order"),
+        )
+        .orderBy("doc_id", "out_order")
+    )
+    expect = [tuple(r) for r in batch.collect()]
+    assert got == expect
