@@ -132,6 +132,33 @@ def write_output(df: DataFrame, target: str, mode: str = "append") -> None:
     df.write.mode(mode).parquet(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> None:
+    """Bucketed parquet sink: co-locates rows by ``hash(bucket_col)``
+    at WRITE time so later equi-joins and aggregations on that key
+    scan pre-partitioned (and pre-sorted) data and plan with NO
+    exchange -- the parquet-table analogue of the Iceberg
+    ``bucket(256, doc_id)`` hidden partitioning :func:`write_output`
+    uses.  At 100 TB this converts every repeated join against the
+    table from a full shuffle into a local merge; pay the partitioning
+    cost once at ingest, not per query (plan-asserted in
+    tests/test_plans.py)."""
+    writer = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+    )
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
 def synth_interleaved(
     spark: SparkSession,
     n_docs: int,

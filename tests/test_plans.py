@@ -129,3 +129,36 @@ def test_doc_chunks_is_join_free(spark):
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert join not in plan, join
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """write_bucketed co-locates both sides on the join key at write
+    time: the equi-join must plan as a SortMergeJoin over the bucketed
+    scans with ZERO Exchange nodes -- the pay-once-at-ingest shuffle
+    elimination that matters for repeated joins at 100 TB."""
+    from boilerpipe_coffee_spark.sources import write_bucketed
+
+    base = tmp_path_factory.mktemp("bkt")
+    docs = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    labs = spark.read.parquet(SF + "/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    write_bucketed(docs, "bkt_docs", str(base / "docs"), "doc_id")
+    write_bucketed(labs, "bkt_labs", str(base / "labs"), "doc_id")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_docs").join(spark.table("bkt_labs"), "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+        # and a groupBy on the bucket key needs no exchange either
+        agg = spark.table("bkt_docs").groupBy("doc_id").count()
+        assert "Exchange" not in _plan(agg), _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_labs")
