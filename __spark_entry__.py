@@ -210,6 +210,7 @@ EXTRA = [
     "events_salted_agg",
     "events_json_props",
     "doc_chunks",
+    "stratified_sample",
 ]
 
 

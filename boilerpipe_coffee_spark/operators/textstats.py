@@ -598,6 +598,56 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+SAMPLE_FRAC = 0.3
+_SAMPLE_MOD = 10_000
+
+
+def stratified_sample(spark, sf_dir, frac: float = SAMPLE_FRAC):
+    """Deterministic hash-threshold sampling, reported per language
+    stratum: a doc is sampled iff ``h64(doc_id) % 10000 < frac*10000``.
+    The scalable sampling pattern -- no RNG state, no shuffle for the
+    decision (scan + filter), identical sample on every engine, every
+    run, and every subset of partitions, which is what makes sampled
+    pipelines resumable and auditable at 100 TB.  (Spark's
+    ``df.sample`` is seed-stable only for a fixed partitioning; a
+    hash threshold survives repartitioning.)"""
+    from ..functions import h64
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = (h64(F.col("doc_id").cast("string")) % _SAMPLE_MOD) < int(
+        frac * _SAMPLE_MOD
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(picked, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .withColumn(
+            "frac_achieved",
+            F.round(F.col("n_sampled") / F.col("n_total"), 4),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    from ..functions import h64_duck
+
+    thr = int(SAMPLE_FRAC * _SAMPLE_MOD)
+    return f"""
+SELECT lang, count(*)::BIGINT AS n_total,
+       sum(CASE WHEN {h64_duck('doc_id::VARCHAR')} % {_SAMPLE_MOD} < {thr}
+                THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       round(sum(CASE WHEN {h64_duck('doc_id::VARCHAR')} % {_SAMPLE_MOD} < {thr}
+                 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4) AS frac_achieved
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
+
 def doc_chunks(spark, sf_dir):
     """Context-window chunking for training prep: one output row per
     CONTEXT_LEN-token chunk of each document (the materialized form of
@@ -776,6 +826,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "repetition_stats": repetition_stats,
     "doc_chunks": doc_chunks,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
@@ -791,4 +842,5 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "repetition_stats": REPETITION_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
 }
