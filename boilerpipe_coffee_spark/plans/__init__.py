@@ -46,6 +46,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # ContextCleaner reclaims shuffle files/broadcasts only after a
+        # driver GC; the 30-min default lets a long-lived session that
+        # hosts many queries accumulate state (r4 measured: late-suite
+        # queries inflated ~2x after ~100 queries).  A short periodic
+        # GC keeps steady state; no effect on short-lived jobs.
+        .config("spark.cleaner.periodicGC.interval", "30s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
