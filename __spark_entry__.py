@@ -153,7 +153,37 @@ def _extraction_queries() -> dict[str, Callable]:
     def unfiltered(spark, sf_dir):
         return _flagship(spark, "Unfiltered")
 
+    def pdf_ingest(spark, sf_dir):
+        """PDF/layout-parse ingestion (north rule): real text PDFs ->
+        interleaved spans -> the SAME extraction pipeline; rows-only
+        (binary pipeline), equality vs the HTML path is test-asserted
+        in tests/test_pipeline_ops.py."""
+        from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.operators.multimodal import (
+            pdf_to_interleaved,
+            synth_pdf_corpus,
+        )
+
+        pdfs = synth_pdf_corpus(spark, 120, seed=42)
+        docs = pdf_to_interleaved(pdfs).filter(F.col("error").isNull())
+        out = extract(docs.select("doc_id", "spans"), "ArticleExtractor")
+        return (
+            out.select(
+                "doc_id", "title", "error",
+                F.posexplode_outer("spans").alias("pos", "s"),
+            )
+            .select(
+                "doc_id", "title", "error",
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.order").alias("out_order"),
+            )
+            .orderBy("doc_id", "out_order")
+        )
+
     return {
+        "pdf_ingest_extract": pdf_ingest,
         "extract_unfiltered_spans": unfiltered,
         "extract_article_spans": article,
         "extract_default_spans": default,

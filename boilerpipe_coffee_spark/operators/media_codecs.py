@@ -369,3 +369,218 @@ def read_gif(buf: bytes) -> dict:
         "delays_cs": delays,
         "duration_ms": sum(delays) * 10,
     }
+
+
+# ------------------------------------------------------------------ #
+# PDF (minimal text-page documents)                                   #
+# ------------------------------------------------------------------ #
+# Writer emits a small but valid PDF 1.4: catalog -> page tree ->
+# one FlateDecode content stream per page of Tj text operators, plus
+# a correct xref table.  Reader parses the object graph (page order
+# from the /Kids array), inflates streams, and extracts text from
+# BT..ET blocks' Tj/TJ operators -- enough for the layout-parse
+# ingestion path over machine-generated text PDFs; scanned/encrypted
+# PDFs raise ValueError and quarantine upstream.
+
+import re as _re
+
+
+def _pdf_escape(s: str) -> bytes:
+    out = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    out = out.replace("\r", "\\r").replace("\n", "\\n").replace("\t", "\\t")
+    return out.encode("latin-1", errors="replace")
+
+
+_PDF_UNESCAPE = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_unescape(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _PDF_UNESCAPE:
+                out += _PDF_UNESCAPE[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            out += nxt
+            i += 2
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def write_pdf(pages: list[str]) -> bytes:
+    """One text page per entry; each page's text becomes Tj lines in a
+    FlateDecode content stream."""
+    if not pages:
+        raise ValueError("PDF needs at least one page")
+    objs: list[bytes] = []  # 1-indexed object bodies
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # 1
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )  # 2
+    for i, text in enumerate(pages):
+        page_num = 3 + 2 * i
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {page_num + 1} 0 R /Resources << /Font "
+                f"<< /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        lines = text.split("\n") or [""]
+        ops = bytearray(b"BT /F1 11 Tf 36 756 Td 13 TL\n")
+        for k, line in enumerate(lines):
+            if k:
+                ops += b"T*\n"
+            ops += b"(" + _pdf_escape(line) + b") Tj\n"
+        ops += b"ET"
+        data = zlib.compress(bytes(ops), 6)
+        objs.append(
+            f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode()
+            + data
+            + b"\nendstream"
+        )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += f"xref\n0 {len(objs) + 1}\n".encode()
+    buf += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        buf += f"{off:010d} 00000 n \n".encode()
+    buf += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(buf)
+
+
+_OBJ_HDR_RE = _re.compile(rb"(\d+)\s+0\s+obj\b")
+_STREAM_START_RE = _re.compile(rb"stream\r?\n")
+_LENGTH_RE = _re.compile(rb"/Length\s+(\d+)\b")
+_KIDS_RE = _re.compile(rb"/Kids\s*\[((?:\s*\d+\s+0\s+R)+)\s*\]")
+_REF_RE = _re.compile(rb"(\d+)\s+0\s+R")
+_CONTENTS_RE = _re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_TJ_RE = _re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj")
+_TJ_ARR_RE = _re.compile(rb"\[((?:[^\]\\]|\\.)*)\]\s*TJ", _re.S)
+_STR_RE = _re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+
+
+def _parse_objects(buf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Sequential object walk -> {num: (dict_bytes, stream_bytes|None)}.
+    Stream payloads are sliced by their integer /Length (never by
+    searching for 'endstream', which compressed bytes can contain by
+    chance -- the classic naive-parser corruption)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HDR_RE.search(buf, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        p = m.end()
+        end = buf.find(b"endobj", p)
+        if end == -1:
+            raise ValueError("unterminated PDF object")
+        sm = _STREAM_START_RE.search(buf, p, end + 6)
+        if sm is not None and sm.start() < end:
+            head = buf[p : sm.start()]
+            lm = _LENGTH_RE.search(head)
+            if lm is None:
+                raise ValueError("PDF stream without integer /Length")
+            length = int(lm.group(1))
+            data = buf[sm.end() : sm.end() + length]
+            if len(data) != length:
+                raise ValueError("truncated PDF stream")
+            objs[num] = (head, data)
+            end = buf.find(b"endobj", sm.end() + length)
+            if end == -1:
+                raise ValueError("unterminated PDF stream object")
+        else:
+            objs[num] = (buf[p:end], None)
+        pos = end + 6
+    return objs
+
+
+def _stream_text(head: bytes, data: bytes | None) -> str:
+    if data is None:
+        return ""
+    if b"/FlateDecode" in head:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"PDF stream inflate failed: {e}") from e
+    parts: list[str] = []
+    for sm in _TJ_RE.finditer(data):
+        parts.append(_pdf_unescape(sm.group(1)))
+        parts.append("\n")
+    for am in _TJ_ARR_RE.finditer(data):
+        for sm in _STR_RE.finditer(am.group(1)):
+            parts.append(_pdf_unescape(sm.group(1)))
+        parts.append("\n")
+    text = "".join(parts)
+    return text[:-1] if text.endswith("\n") else text
+
+
+def read_pdf(buf: bytes) -> dict:
+    """Parse a text PDF -> {n_pages, pages: [text, ...]} in page-tree
+    order.  Our writer uses one Tj per source line with T* line
+    advances, so page text round-trips exactly."""
+    if not buf.startswith(b"%PDF-"):
+        raise ValueError("not a PDF")
+    if b"/Encrypt" in buf:
+        raise ValueError("encrypted PDF unsupported")
+    objs = _parse_objects(buf)
+    if not objs:
+        raise ValueError("PDF contains no objects")
+    kids: list[int] = []
+    for head, _ in objs.values():
+        if b"/Type /Pages" in head or b"/Type/Pages" in head:
+            km = _KIDS_RE.search(head)
+            if km:
+                kids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+            break
+    if not kids:  # single implicit page tree: collect /Type /Page objs
+        kids = sorted(
+            n for n, (h, _) in objs.items()
+            if _re.search(rb"/Type\s*/Page\b", h)
+        )
+    if not kids:
+        raise ValueError("PDF has no pages")
+    pages = []
+    for num in kids:
+        entry = objs.get(num)
+        if entry is None:
+            raise ValueError(f"PDF page object {num} missing")
+        cm = _CONTENTS_RE.search(entry[0])
+        if cm is None:
+            pages.append("")
+            continue
+        content = objs.get(int(cm.group(1)))
+        if content is None:
+            raise ValueError("PDF content stream missing")
+        pages.append(_stream_text(*content))
+    return {"n_pages": len(pages), "pages": pages}

@@ -343,3 +343,84 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
 
     return vids.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# ------------------------------------------------------------------ #
+# PDF layout-parse ingestion                                          #
+# ------------------------------------------------------------------ #
+
+PDF_DOCS_DDL = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>, error string"
+)
+
+
+def pdf_to_interleaved(pdfs: DataFrame) -> DataFrame:
+    """Layout-parse ingestion (north rule: 'HTML boilerplate strip,
+    PDF/layout parse'): a binary ``payload`` column of text PDFs is
+    parsed (pure-python reader: object graph, page-tree order,
+    FlateDecode streams, Tj/TJ text operators) into the SAME
+    interleaved span shape HTML documents use -- one text span per
+    page, ``offset`` = page index -- so the whole downstream pipeline
+    (extraction, dedup, quality, chunking) runs unchanged on
+    PDF-sourced corpora.  Unparseable payloads quarantine as
+    zero-span rows with ``error`` set."""
+    from . import media_codecs as mc
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, spans, errors = [], [], []
+            for r in pdf.itertuples():
+                ids.append(r.doc_id)
+                try:
+                    d = mc.read_pdf(bytes(r.payload))
+                    spans.append(
+                        [
+                            {
+                                "kind": "text",
+                                "text": page,
+                                "media_ref": None,
+                                "offset": i,
+                            }
+                            for i, page in enumerate(d["pages"])
+                        ]
+                    )
+                    errors.append(None)
+                except ValueError as e:
+                    spans.append([])
+                    errors.append(f"pdf_parse: {e}")
+            yield pd.DataFrame(
+                {"doc_id": ids, "spans": spans, "error": errors}
+            )
+
+    return pdfs.select("doc_id", "payload").mapInPandas(
+        run, schema=PDF_DOCS_DDL
+    )
+
+
+def synth_pdf_corpus(spark, n_docs: int, seed: int = 42) -> DataFrame:
+    """Deterministic PDF corpus: each synthetic interleaved doc's text
+    spans (offset order) become the pages of a real PDF -- so
+    ``pdf_to_interleaved`` of this corpus reproduces the text spans of
+    the HTML corpus exactly, and extraction equality is testable."""
+    from ..sources import synth_interleaved
+    from . import media_codecs as mc
+
+    docs = synth_interleaved(spark, n_docs, seed=seed)
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for r in pdf.itertuples():
+                texts = [
+                    s["text"]
+                    for s in sorted(
+                        (s for s in r.spans if s["kind"] == "text"),
+                        key=lambda s: s["offset"],
+                    )
+                ]
+                ids.append(r.doc_id)
+                payloads.append(mc.write_pdf(texts or [""]))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(render, schema="doc_id string, payload binary")

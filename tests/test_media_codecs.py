@@ -144,3 +144,51 @@ def test_synth_payload_is_deterministic_and_real():
         p2 = synth_payload("some/ref.bin", kind)
         assert p1 == p2
         reader(p1)  # parses cleanly
+
+
+def test_pdf_round_trip_and_escaping():
+    pages = [
+        "hello (world) \\ with\nnewline and )unbalanced(",
+        "<p>page two &amp; html</p>",
+        "",
+        "tabs\there",
+    ]
+    d = mc.read_pdf(mc.write_pdf(pages))
+    assert d["n_pages"] == 4
+    assert d["pages"] == pages
+
+
+def test_pdf_survives_marker_bytes_in_streams():
+    """Stream payloads can contain 'endobj'/'endstream'/'N 0 obj'
+    bytes (by chance when compressed, or literally in uncompressed
+    streams); the /Length-driven walk must not be fooled -- the
+    classic naive-regex-parser corruption.  Deterministic adversarial
+    case: an UNCOMPRESSED content stream whose text contains every
+    marker."""
+    text = "x endobj endstream 2 0 obj stream y"
+    ops = b"BT /F1 11 Tf 36 756 Td 13 TL\n(" + mc._pdf_escape(text) + b") Tj\nET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(ops)).encode() + b" >>\nstream\n"
+        + ops + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    buf = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objs, start=1):
+        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    buf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    d = mc.read_pdf(bytes(buf))
+    assert d["pages"] == [text]
+
+
+def test_pdf_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mc.read_pdf(b"not a pdf at all")
+    good = bytearray(mc.write_pdf(["some page text here"]))
+    with _pytest.raises(ValueError):
+        mc.read_pdf(bytes(good[: len(good) // 2]))  # truncated stream

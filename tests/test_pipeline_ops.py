@@ -470,3 +470,99 @@ def test_done_buckets_missing_vs_corrupt(spark, tmp_path):
     (bad / "garbage.parquet").write_text("not parquet at all")
     with pytest.raises(Exception):
         _done_buckets(spark, str(bad))
+
+
+def test_pdf_ingestion_matches_html_path(spark):
+    """PDF-sourced corpora must flow through the SAME pipeline: pages
+    of real PDFs (one per original text span) parse back to the
+    original text spans, and extraction output equals extracting the
+    text-only original documents."""
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.operators.multimodal import (
+        pdf_to_interleaved,
+        synth_pdf_corpus,
+    )
+
+    n = 60
+    parsed = pdf_to_interleaved(synth_pdf_corpus(spark, n, seed=42))
+    rows = parsed.collect()
+    assert len(rows) == n
+    assert all(r.error is None for r in rows)
+
+    # text spans round-trip exactly (media spans are not in the PDFs)
+    originals = {
+        r.doc_id: r
+        for r in synth_interleaved(spark, n, seed=42).collect()
+    }
+    for r in rows:
+        exp = sorted(
+            (s for s in originals[r.doc_id].spans if s.kind == "text"),
+            key=lambda s: s.offset,
+        )
+        assert [s.text for s in r.spans] == [s.text for s in exp], r.doc_id
+
+    # extraction equality vs the text-only HTML path
+    text_only = spark.createDataFrame(
+        [
+            (
+                d.doc_id,
+                [
+                    {"kind": "text", "text": s.text, "media_ref": None,
+                     "offset": i}
+                    for i, s in enumerate(
+                        sorted(
+                            (s for s in d.spans if s.kind == "text"),
+                            key=lambda s: s.offset,
+                        )
+                    )
+                ],
+            )
+            for d in originals.values()
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r.doc_id: r
+        for r in extract(
+            parsed.filter(F.col("error").isNull()).select("doc_id", "spans"),
+            "ArticleExtractor",
+        ).collect()
+    }
+    exp = {
+        r.doc_id: r for r in extract(text_only, "ArticleExtractor").collect()
+    }
+    assert set(got) == set(exp)
+    for doc_id, e in exp.items():
+        g = got[doc_id]
+        ge = [(s.kind, s.text, s.media_ref, s.order) for s in (g.spans or [])]
+        ee = [(s.kind, s.text, s.media_ref, s.order) for s in (e.spans or [])]
+        assert (g.title, ge, g.error) == (e.title, ee, e.error), doc_id
+
+
+def test_pdf_corrupt_payload_quarantines(spark):
+    import pandas as pd
+
+    from boilerpipe_coffee_spark.operators.multimodal import (
+        pdf_to_interleaved,
+    )
+    from boilerpipe_coffee_spark.operators import media_codecs as mc
+
+    good = mc.write_pdf(["page one", "page two"])
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["ok", "bad1", "bad2"],
+            "payload": [good, b"%PDF-1.4 truncated garbage", b"notapdf"],
+        }
+    )
+    rows = {
+        r.doc_id: r
+        for r in pdf_to_interleaved(
+            spark.createDataFrame(pdf, "doc_id string, payload binary")
+        ).collect()
+    }
+    assert rows["ok"].error is None and len(rows["ok"].spans) == 2
+    for bad in ("bad1", "bad2"):
+        assert rows[bad].error and rows[bad].error.startswith("pdf_parse")
+        assert rows[bad].spans == []
