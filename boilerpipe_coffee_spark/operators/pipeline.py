@@ -158,6 +158,25 @@ def run_partitioned(
             F.sum(F.size(F.coalesce(F.col("spans"), F.array()))).alias(
                 "spans_out"
             ),
+            # block-classification breakdown (north rule: per-partition
+            # lineage AND block-classification metrics): surviving
+            # content text blocks vs preserved media spans
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.coalesce(F.col("spans"), F.array()),
+                        lambda s: s.kind == F.lit("text"),
+                    )
+                )
+            ).alias("content_blocks_out"),
+            F.sum(
+                F.size(
+                    F.filter(
+                        F.coalesce(F.col("spans"), F.array()),
+                        lambda s: s.kind != F.lit("text"),
+                    )
+                )
+            ).alias("media_spans_out"),
             F.sum(
                 F.when(F.col("error").isNotNull(), 1).otherwise(0)
             ).alias("errors"),
@@ -171,10 +190,12 @@ def run_partitioned(
         s = stats.get(b)
         docs_out = int(s["docs_out"]) if s else 0
         spans_out = int(s["spans_out"] or 0) if s else 0
+        content_blocks = int(s["content_blocks_out"] or 0) if s else 0
+        media_spans = int(s["media_spans_out"] or 0) if s else 0
         errors = int(s["errors"] or 0) if s else 0
         rows.append(
-            (b, int(in_counts.get(b, 0)), docs_out, spans_out, errors,
-             wall_ms, extractor)
+            (b, int(in_counts.get(b, 0)), docs_out, spans_out,
+             content_blocks, media_spans, errors, wall_ms, extractor)
         )
         total_out += docs_out
         total_err += errors
@@ -183,6 +204,7 @@ def run_partitioned(
     spark.createDataFrame(
         rows,
         "partition_id int, docs_in long, docs_out long, spans_out long,"
+        " content_blocks_out long, media_spans_out long,"
         " errors long, wall_ms long, extractor string",
     ).write.mode("append").partitionBy("partition_id").parquet(metrics_dir)
 

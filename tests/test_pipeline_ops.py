@@ -34,6 +34,14 @@ def test_run_partitioned_resume(spark, tmp_path_factory):
     metrics = spark.read.parquet(out_dir + "/metrics").collect()
     assert sum(m.docs_in for m in metrics) == 60
     assert all(m.docs_in == m.docs_out for m in metrics)
+    # block-classification breakdown: text + media spans == spans_out,
+    # and a non-quarantined corpus emits some of each
+    assert all(
+        m.content_blocks_out + m.media_spans_out == m.spans_out
+        for m in metrics
+    )
+    assert sum(m.content_blocks_out for m in metrics) > 0
+    assert sum(m.media_spans_out for m in metrics) > 0
     # resume: everything committed -> nothing re-runs
     s2 = run_partitioned(spark, docs, out_dir, n_buckets=4)
     assert s2["buckets_run"] == 0 and s2["buckets_skipped"] == 4
