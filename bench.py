@@ -138,6 +138,7 @@ SUITE = [
     "packing_stats",
     "quality_histogram_quantiles",
     "doc_chunks",
+    "stratified_sample",
 ]
 
 
