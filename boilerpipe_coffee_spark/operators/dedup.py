@@ -398,12 +398,21 @@ FROM bc
 
 
 def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, simhash): 32-bit SimHash over the
+    """(doc_id, text) -> (doc_id, simhash): 64-bit SimHash over the
     distinct token set, one map-side Arrow pass (same rationale as
     :func:`minhash_sigs_df` -- the declarative form pays interpreted
-    tokenizer HOFs plus a 32-conditional-sum shuffle of exploded token
-    strings; this emits one int per doc, bit-identical to the oracle:
-    md5 hex prefix % 2^32, +/-1 bit votes, sign recompose)."""
+    tokenizer HOFs plus a 64-conditional-sum shuffle of exploded token
+    strings; this emits one int per doc, bit-identical to the oracle).
+
+    64 bits (widened from 32 in round 5): at 10^12 docs, random 32-bit
+    collisions alone flood Hamming<=3, and the 8-bit chunk keys of the
+    old pairing join gave only 1,024 distinct join keys.  Bit b of the
+    signature votes on bit b of the per-token hash; the token hash is
+    two 32-bit md5 hex windows (chars 1-8 -> bits 0..31, chars 9-16 ->
+    bits 32..63), parsed identically by DuckDB, so both engines see the
+    same 64 independent bits.  The signature is the two's-complement
+    signed 64-bit recompose (bit 63 contributes -2^63), matching
+    Spark LongType / DuckDB BIGINT exactly."""
     import hashlib
     import re
 
@@ -411,7 +420,8 @@ def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
     import pandas as pd
 
     tok_re = re.compile(r"[^a-z0-9]+")
-    powers = (np.int64(1) << np.arange(32, dtype=np.int64))
+    # bits 0..62 recompose positively; bit 63 is the sign bit
+    powers = [1 << b for b in range(63)]
 
     def sig_fn(batches):
         for pdf in batches:
@@ -420,27 +430,38 @@ def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
                 toks = {t for t in tok_re.split((text or "").lower()) if t}
                 if not toks:
                     continue
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
-                        % 4294967296
-                        for t in toks
-                    ),
-                    dtype=np.int64,
-                    count=len(toks),
+                hexes = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+                hs_lo = np.fromiter(
+                    (int(h[:8], 16) for h in hexes),
+                    dtype=np.int64, count=len(hexes),
                 )
-                bits = (hs[:, None] >> np.arange(32)) & 1  # (n, 32)
+                hs_hi = np.fromiter(
+                    (int(h[8:16], 16) for h in hexes),
+                    dtype=np.int64, count=len(hexes),
+                )
+                bits = np.concatenate(
+                    [
+                        (hs_lo[:, None] >> np.arange(32)) & 1,
+                        (hs_hi[:, None] >> np.arange(32)) & 1,
+                    ],
+                    axis=1,
+                )  # (n, 64)
                 votes = (2 * bits - 1).sum(axis=0)  # +1/-1 per bit
+                val = sum(p for b, p in enumerate(powers) if votes[b] > 0)
+                if votes[63] > 0:
+                    val -= 1 << 63  # two's-complement sign bit
                 ids.append(doc_id)
-                sigs.append(int(powers[votes > 0].sum()))
-            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+                sigs.append(val)
+            yield pd.DataFrame(
+                {"doc_id": ids, "simhash": pd.array(sigs, dtype="int64")}
+            )
 
     schema = "doc_id " + _doc_id_sql_type(docs_in) + ", simhash bigint"
     return docs_in.select("doc_id", "text").mapInPandas(sig_fn, schema)
 
 
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash over the distinct token set."""
+    """64-bit SimHash over the distinct token set."""
     return simhash_sigs_df(_t(spark, sf_dir, "documents")).orderBy(
         "doc_id"
     )
@@ -449,19 +470,27 @@ def dedup_simhash(spark, sf_dir):
 def _simhash_ctes() -> str:
     """CTE list ending in ``sig(doc_id, simhash)`` -- shared by the
     signature oracle and the candidate-pairs oracle (mirrors
-    :func:`_minhash_pairs_ctes`; no string surgery between builders)."""
+    :func:`_minhash_pairs_ctes`; no string surgery between builders).
+    64-bit: h_lo/h_hi are the two 32-bit md5 hex windows; bit 63
+    recomposes as -2^63 (signed BIGINT two's complement, matching the
+    Spark LongType value exactly)."""
     bit_sums = ",\n         ".join(
-        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        f"sum(CASE WHEN (h_lo >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(32)
+    ) + ",\n         " + ",\n         ".join(
+        f"sum(CASE WHEN (h_hi >> {b - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32, 64)
     )
     recompose = " + ".join(
-        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(32)
-    )
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(63)
+    ) + " + (CASE WHEN s63 > 0 THEN -9223372036854775808 ELSE 0 END)"
     return f"""ex AS (
   SELECT doc_id, unnest(list_distinct({_TOKENS_DUCK})) AS tok
   FROM documents WHERE len({_TOKENS_DUCK}) > 0
 ), hs AS (
-  SELECT doc_id, ({_h64_duck('tok')}) % 4294967296 AS h
+  SELECT doc_id,
+         ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h_lo,
+         ('0x' || substring(md5(tok), 9, 8))::BIGINT AS h_hi
   FROM ex
 ), sums AS (
   SELECT doc_id,
@@ -483,42 +512,60 @@ SELECT doc_id, simhash FROM sig ORDER BY doc_id
 # ------------------------------------------------------------------ #
 
 
-def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
-    """Near-dup candidate pairs from the 32-bit SimHash WITHOUT an
-    all-pairs scan: split the signature into 4 byte chunks -- by
+def dedup_simhash_pairs(
+    spark, sf_dir, max_hamming: int = 3, bucket_cap: int = BUCKET_CAP
+):
+    """Near-dup candidate pairs from the 64-bit SimHash WITHOUT an
+    all-pairs scan: split the signature into 4 x 16-bit chunks -- by
     pigeonhole, any pair within Hamming distance <= 3 agrees on at
-    least one whole chunk -- join on (chunk_idx, chunk_value), then
+    least one whole chunk -- join on the combined chunk key, then
     verify exact Hamming distance columnar with bit_count(a XOR b).
-    The join shuffles on uniform 8-bit chunk keys, linear in corpus
-    size; no N^2 pair enumeration anywhere."""
+    65,536 possible values per chunk index (vs 256 for the old byte
+    chunks) keep buckets thin as the corpus grows, and -- same skew
+    guard as :func:`dedup_minhash_lsh` -- buckets larger than
+    ``bucket_cap`` are dropped from the join entirely: membership in a
+    flood bucket means near-exact duplication, which the exact-dedup
+    pass already resolves linearly.  The DuckDB oracle applies the SAME
+    cap (shared ``BUCKET_CAP`` constant), so parity holds on flood
+    corpora; the cap is counted by a window on ``chunk_key``, whose
+    hash partitioning is exactly what the self-join needs, so the
+    guard adds no extra exchange."""
+    from pyspark.sql import Window
+
     sig = dedup_simhash(spark, sf_dir)
+    # single join key = chunk_idx * 2^16 + chunk_val: one column to
+    # window over AND to join on (shuffle partitioning reused)
     chunks = sig.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftright("simhash", 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("chunk_val"),
-                    )
+                    (
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        + F.lit(i * 65536)
+                    ).cast("long")
                     for i in range(4)
                 ]
             )
-        ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+        ).alias("chunk_key"),
+    )
+    bucket_n = F.count("*").over(Window.partitionBy("chunk_key"))
+    capped = (
+        chunks.withColumn("bucket_n", bucket_n)
+        .filter(F.col("bucket_n") <= bucket_cap)
+        .select("doc_id", "simhash", "chunk_key")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
     return (
         a.join(
             b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            (F.col("a.chunk_key") == F.col("b.chunk_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -535,13 +582,20 @@ def dedup_simhash_pairs(spark, sf_dir, max_hamming: int = 3):
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     return f"""
 WITH {_simhash_ctes()}, chunks AS (
-  SELECT doc_id, simhash, i AS chunk_idx, (simhash >> (8 * i)) & 255 AS chunk_val
+  SELECT doc_id, simhash,
+         ((simhash >> (16 * i)) & 65535) + i * 65536 AS chunk_key
   FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+), capped AS (
+  SELECT doc_id, simhash, chunk_key FROM (
+    SELECT doc_id, simhash, chunk_key,
+           count(*) OVER (PARTITION BY chunk_key) AS bucket_n
+    FROM chunks)
+  WHERE bucket_n <= {BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::INT AS hamming
-FROM chunks a JOIN chunks b
-  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+FROM capped a JOIN capped b
+  ON a.chunk_key = b.chunk_key
  AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b
@@ -557,7 +611,30 @@ DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 # ------------------------------------------------------------------ #
 
 
-def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage cut for the iterative component loops.
+
+    ``checkpoint_dir=None`` (default) -> ``localCheckpoint``: blocks
+    live on executors -- fast, fine on local[*], but on a real cluster
+    one executor loss mid-iteration makes the job unrecoverable (the
+    truncated lineage cannot recompute the lost blocks).  Passing a
+    reliable (HDFS-compatible, cluster-visible) directory switches to
+    ``checkpoint()``: blocks are written to storage that survives
+    executor loss -- the 100-TB setting, threaded through
+    ``jobs/run_pipeline.py --checkpoint-dir``."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def _star_components(
+    pairs: DataFrame,
+    max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14): round count is O(log^2 n) REGARDLESS of component
@@ -580,8 +657,8 @@ def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )  # canonical orientation src > dst, positional (src, dst)
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = _ckpt(e, checkpoint_dir)
     for _ in range(max_rounds):
         # large-star over the full neighborhood (both orientations);
         # unionByName -- a positional union would silently undo the swap
@@ -609,8 +686,8 @@ def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
                 F.least("src", "dst").alias("dst"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        ss = _ckpt(ss, checkpoint_dir)
         # both sides are distinct canonical-oriented sets, so equality
         # is |e| == |ss| plus one one-sided difference being empty --
         # one exceptAll job per round, not two
@@ -639,7 +716,11 @@ def _star_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     return labels.unionByName(mins)
 
 
-def resolve_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def resolve_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected-component labels (doc_id, cluster_id) for every node
     touched by a candidate pair, cluster_id = component min.
 
@@ -664,13 +745,13 @@ def resolve_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    edges = _ckpt(edges, checkpoint_dir)
+    labels = _ckpt(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .withColumn("cluster_id", F.col("doc_id")),
+        checkpoint_dir,
     )
     changed = -1  # set each round; -1 only if max_iters < 1
     for _ in range(max_iters):
@@ -688,8 +769,8 @@ def resolve_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _ckpt(new_labels, checkpoint_dir)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -704,7 +785,7 @@ def resolve_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # star algorithm (silent wrong labels would diverge from the
         # exact recursive-CTE oracle undetectably; a slower correct
         # path is the right degradation)
-        labels = _star_components(pairs)
+        labels = _star_components(pairs, checkpoint_dir=checkpoint_dir)
     return labels
 
 

@@ -108,3 +108,60 @@ def test_clusters_resolve_chain_and_singletons(spark, tmp_path):
     # singletons keep themselves
     for doc in (10, 11):
         assert labels[doc] == (doc, True)
+
+
+# ------------------------------------------------------------------ #
+# SimHash chunk-bucket cap (round 5: 64-bit sigs, 4x16-bit chunks)    #
+# ------------------------------------------------------------------ #
+
+
+@pytest.fixture(scope="module")
+def simhash_flood_dir(tmp_path_factory):
+    """1000 identical docs (one simhash -> 4 flooded chunk buckets)
+    plus two near-dups whose 64-bit signatures differ by ONE bit and
+    share two chunk buckets the flood does not touch (tail words
+    searched offline for that property)."""
+    tmp = tmp_path_factory.mktemp("simflood")
+    rows = [(i, FLOOD_TEXT) for i in range(1000)]
+    near = FLOOD_TEXT.replace("morning", "evening") + " unique tail "
+    rows += [(5001, near + "one"), (5002, near + "seven")]
+    return _write_documents(tmp, rows)
+
+
+def test_simhash_cap_bounds_identical_doc_flood(spark, simhash_flood_dir):
+    """1000 identical docs share one signature, so each of its 4 chunk
+    buckets holds 1000 rows -> ~2M candidate pairs per chunk without
+    the cap.  With it the flood contributes ZERO pairs (exact-dup
+    territory) while the genuine near-dup pair survives via its
+    unflooded shared chunks."""
+    from boilerpipe_coffee_spark.operators.dedup import dedup_simhash_pairs
+
+    pairs = dedup_simhash_pairs(spark, simhash_flood_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert set(got) == {(5001, 5002)}, got
+    assert got[(5001, 5002)] == 1
+
+
+def test_simhash_cap_parity_with_oracle_on_flood(spark, simhash_flood_dir):
+    """DuckDB oracle applies the SAME chunk-bucket cap (shared
+    BUCKET_CAP), so Spark and oracle agree while the cap does real
+    work."""
+    import duckdb
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        DEDUP_SIMHASH_PAIRS_SQL,
+        dedup_simhash_pairs,
+    )
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup_simhash_pairs(spark, simhash_flood_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{simhash_flood_dir}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(DEDUP_SIMHASH_PAIRS_SQL).fetchall())
+    con.close()
+    assert got == want
