@@ -151,7 +151,10 @@ def emit_chunks(training: DataFrame, context_len: int | None = None) -> DataFram
 
 
 def near_dup_keep(
-    features: DataFrame, bucket_cap: int = 64, max_iters: int = 20
+    features: DataFrame,
+    bucket_cap: int = 64,
+    max_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The NEAR-dup stage of the production dedup hierarchy, run on
     the survivors of the exact pass: exact dedup (hash groupBy,
@@ -174,7 +177,9 @@ def near_dup_keep(
 
     survivors = features.filter(F.col("keep")).select("doc_id", "text")
     pairs = minhash_candidate_pairs(survivors, bucket_cap)
-    labels = resolve_components(pairs, max_iters)
+    # checkpoint_dir: reliable lineage cuts for the component loop on a
+    # real cluster (survives executor loss); local default stays fast
+    labels = resolve_components(pairs, max_iters, checkpoint_dir)
     return (
         features.join(labels, "doc_id", "left")
         .withColumn(

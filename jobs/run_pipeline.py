@@ -61,6 +61,13 @@ def main() -> None:
     )
     ap.add_argument("--no-near-dup", action="store_true",
                     help="stop at exact dedup (skip stage 4)")
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="reliable (cluster-visible) checkpoint dir for the "
+        "stage-4 connected-components loop; default uses "
+        "localCheckpoint (executor-local blocks -- fine on local[*], "
+        "not executor-loss-safe on a real cluster)",
+    )
     ap.add_argument("--emit-chunks", action="store_true",
                     help="stage 5: materialize context-window training "
                     "chunks from the kept docs -> <out>/chunks/")
@@ -130,7 +137,9 @@ def main() -> None:
         exact_kept = None
     else:
         exact_kept = features.filter(F.col("keep")).count()
-        training = near_dup_keep(features).filter(
+        training = near_dup_keep(
+            features, checkpoint_dir=args.checkpoint_dir
+        ).filter(
             F.col("keep_final")
         ).drop("is_canonical", "passes_gates", "keep", "keep_final")
     training_dir = os.path.join(args.output, "training")
