@@ -205,7 +205,7 @@ def _extraction_queries() -> dict[str, Callable]:
 #      load-bearing (extraction parity vs the reference binary, the
 #      four stateful streaming queries, repetition_stats) go first.
 #   2. Every other oracle-backed query in module order.
-#   3. DEMOTED -- 6 monitoring/baseline rows, each with a strictly
+#   3. DEMOTED -- monitoring/baseline rows, each with a strictly
 #      stronger sibling already inside the window:
 #        emb_bucket_stats       -> dedup_embedding_lsh_pairs
 #        minhash_band_stats     -> dedup_minhash_lsh
@@ -213,6 +213,14 @@ def _extraction_queries() -> dict[str, Callable]:
 #        dedup_embedding_cosine -> dedup_embedding_lsh_pairs
 #        dedup_ngram_jaccard    -> dedup_minhash_lsh
 #        udtf_sentence_explode  -> split_sentences (same explode logic)
+#      Round-5 rotation (VERDICT r4 task 4): two more demotions free
+#      window slots for the two most load-bearing EXTRA rows
+#      (events_salted_agg = skew handling, doc_chunks = chunk
+#      materialization, both pipeline-critical):
+#        q6_forecast_revenue    -> q1_pricing_summary (same
+#                                  filter+aggregate shape over lineitem)
+#        min_clause_docs        -> split_sentences (same clause/
+#                                  sentence segmentation core)
 #      They stay in the contract (and in the full test suite, which
 #      parametrizes over ALL oracle keys) but sit past the cap.
 #   4. Rows-only extraction/media queries last; their exact-match gate
@@ -232,14 +240,21 @@ DEMOTED = [
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "udtf_sentence_explode",
+    "q6_forecast_revenue",
+    "min_clause_docs",
+]
+# Promoted into the window in round 5 (they replace the two new
+# demotions above, keeping the window at exactly 50): skew-handling
+# and chunk-materialization evidence belongs in the driver rows.
+PROMOTED = [
+    "events_salted_agg",
+    "doc_chunks",
 ]
 # Oracle-backed queries added AFTER the r4 window was frozen: they sit
 # past the cap (checked by the full test suite, which parametrizes
 # over every oracle key) so they cannot displace the 50 in-window rows.
 EXTRA = [
-    "events_salted_agg",
     "events_json_props",
-    "doc_chunks",
     "stratified_sample",
 ]
 

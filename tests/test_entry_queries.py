@@ -139,6 +139,12 @@ def test_driver_window_ordering():
     assert not missing, f"rows-only queries inside the 50-window: {missing}"
     for name in ENTRY.PRIORITY:
         assert name in window, f"priority query {name} fell out of the window"
+    for name in ENTRY.PROMOTED:
+        assert name in window, f"promoted query {name} fell out of the window"
     for name in ENTRY.DEMOTED:
         assert name in keys, f"demoted query {name} dropped from contract"
         assert name in oracle_backed, f"demoted query {name} lost its oracle"
+        assert name not in window, f"demoted query {name} still in the window"
+    # the window must be exactly the oracle-backed set minus the
+    # demotions/extras: no slot wasted, no oracle row displaced silently
+    assert len([k for k in window if k in oracle_backed]) == 50
