@@ -10,12 +10,15 @@ import pyarrow.parquet as pq
 import pytest
 
 from boilerpipe_coffee_spark.operators.similarity import (
-    DEDUP_EMB_LSH_SQL,
     DIM,
     EMB_BUCKET_CAP,
+    _emb_lsh_pairs_sql,
     dedup_embedding_cosine,
     dedup_embedding_lsh_pairs,
+    emb_banding,
 )
+
+N_FLOOD_ROWS = 602  # 600 flood copies + the near-dup pair
 
 SF_001 = "/root/testdata/sf0.001"
 SF_01 = "/root/testdata/sf0.01"
@@ -84,7 +87,13 @@ def test_flood_parity_with_oracle(spark, flood_dir):
         "CREATE VIEW embeddings AS SELECT * FROM "
         f"read_parquet('{flood_dir}/embeddings.parquet')"
     )
-    want = sorted(tuple(r) for r in con.sql(DEDUP_EMB_LSH_SQL).fetchall())
+    # the oracle must be generated for THIS corpus's row count (the
+    # adaptive banding resolves to B=5 x T=14 at n=602, not the
+    # driver corpus's B=4 x T=12)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(_emb_lsh_pairs_sql(n_rows=N_FLOOD_ROWS)).fetchall()
+    )
     con.close()
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
     for (_, _, cg), (_, _, cw) in zip(got, want):
@@ -129,11 +138,62 @@ def test_flood_visible_in_bucket_stats(spark, flood_dir):
     """The monitoring companion must report the vector flood that the
     cap silently (by design) drops from the candidate join."""
     from boilerpipe_coffee_spark.operators.similarity import (
-        N_TABLES,
         emb_bucket_stats,
     )
 
+    _, n_tables = emb_banding(N_FLOOD_ROWS)
     s = emb_bucket_stats(spark, flood_dir).collect()[0]
     assert s.max_bucket >= 600  # the flood bucket, in every table
-    assert s.buckets_dropped >= N_TABLES
-    assert s.vecs_in_dropped >= 600 * N_TABLES
+    assert s.buckets_dropped >= n_tables
+    assert s.vecs_in_dropped >= 600 * n_tables
+    # the flood's quadratic mass sits in DROPPED buckets, so the
+    # surviving-candidate bound the monitor reports stays tiny
+    assert s.cand_pairs_bound < 1000
+    assert s.cand_ratio < 0.01
+
+
+def test_banding_policy_monotone_and_anchored():
+    """The adaptive policy: anchored at the committed corpora (n=500
+    -> the round-4 B=4 x T=12, so driver rows are bit-stable),
+    monotone in N, clamped at B=16/T=32 so the plane count and probe
+    cost stay bounded at any scale."""
+    assert emb_banding(500) == (4, 12)
+    assert emb_banding(2000) == (6, 16)
+    prev_b = 0
+    for n in (1, 100, 500, 2_000, 50_000, 10**6, 10**9, 10**12):
+        b, t = emb_banding(n)
+        assert 4 <= b <= 16 and 12 <= t <= 32
+        assert b >= prev_b
+        prev_b = b
+    assert emb_banding(10**12) == (16, 32)
+
+
+def test_adaptive_banding_oracle_parity_larger_corpus(spark, tmp_path):
+    """A corpus big enough to leave the legacy banding (n=1200 ->
+    B=6 x T=16): Spark and the regenerated oracle must stay
+    hash-exact -- proves BOTH sides derive parameters from the same
+    policy rather than only the n=500 instance being aligned."""
+    rows = [(i, _vec(i)) for i in range(1200)]
+    # plant one near-identical pair well above the threshold
+    base = _vec(7001)
+    rows += [(9001, base), (9002, [x + 0.03 * p for x, p in zip(base, _vec(7002))])]
+    d = _write_embeddings(tmp_path, rows)
+    assert emb_banding(1202) == (6, 16)
+
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in dedup_embedding_lsh_pairs(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(_emb_lsh_pairs_sql(n_rows=1202)).fetchall()
+    )
+    con.close()
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, cg), (_, _, cw) in zip(got, want):
+        assert math.isclose(cg, cw, abs_tol=1e-4)
+    assert (9001, 9002) in {(a, b) for a, b, _ in got}
