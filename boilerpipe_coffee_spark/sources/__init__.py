@@ -159,6 +159,37 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def register_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+) -> DataFrame:
+    """Re-attach bucketing metadata to files :func:`write_bucketed`
+    produced in ANOTHER session.  Bucket layout lives in the catalog,
+    not the parquet files, and the default session catalog is
+    in-memory -- so a downstream consumer session must re-register the
+    external table over the existing (bucket-suffixed) files before
+    its joins/aggregations can plan exchange-free.  DROP/CREATE of an
+    external LOCATION table never touches the data files.  The
+    declared spec must match what was written (same bucket_col /
+    n_buckets / sort) -- Spark trusts the DDL."""
+    df = spark.read.parquet(path)
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    sorted_by = f"SORTED BY (`{bucket_col}`) " if sort else ""
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{bucket_col}`) {sorted_by}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
 def synth_interleaved(
     spark: SparkSession,
     n_docs: int,

@@ -43,6 +43,11 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+# bucket count for the BUCKETED output tables (training/chunks); small
+# corpora keep file counts sane, and at 100 TB this is the knob an
+# operator raises (file count per table = buckets x writer tasks)
+N_OUT_BUCKETS = 8
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -142,8 +147,24 @@ def main() -> None:
         ).filter(
             F.col("keep_final")
         ).drop("is_canonical", "passes_gates", "keep", "keep_final")
+    # output tables land BUCKETED on doc_id (write_bucketed): pay the
+    # partitioning shuffle once here so every downstream join against
+    # training/chunks (and their mutual join) plans exchange-free --
+    # consumers in a fresh session re-attach the layout with
+    # sources.register_bucketed(<table>, <dir>, "doc_id", N_OUT_BUCKETS)
+    import hashlib
+
+    from boilerpipe_coffee_spark.sources import write_bucketed
+
+    tbl_tag = hashlib.md5(
+        os.path.abspath(args.output).encode()
+    ).hexdigest()[:8]
     training_dir = os.path.join(args.output, "training")
-    training.write.mode("overwrite").parquet(training_dir)
+    training_table = f"bpc_training_{tbl_tag}"
+    write_bucketed(
+        training, training_table, training_dir, "doc_id",
+        n_buckets=N_OUT_BUCKETS,
+    )
     if persisted is not None:
         persisted.unpersist()
 
@@ -155,9 +176,11 @@ def main() -> None:
         from boilerpipe_coffee_spark.operators.pretrain import emit_chunks
 
         chunks_dir = os.path.join(args.output, "chunks")
-        emit_chunks(spark.read.parquet(training_dir)).write.mode(
-            "overwrite"
-        ).parquet(chunks_dir)
+        chunks_table = f"bpc_chunks_{tbl_tag}"
+        write_bucketed(
+            emit_chunks(spark.read.parquet(training_dir)),
+            chunks_table, chunks_dir, "doc_id", n_buckets=N_OUT_BUCKETS,
+        )
         n_chunks = spark.read.parquet(chunks_dir).count()
     if args.with_media:
         from boilerpipe_coffee_spark.operators.multimodal import (
@@ -182,7 +205,10 @@ def main() -> None:
         "extracted": int(totals.n),
         "quarantined": int(totals.q or 0),
         "kept": kept,
+        "training_table": training_table,
     }
+    if args.emit_chunks:
+        summary["chunks_table"] = chunks_table
     if exact_kept is not None:
         summary["exact_kept"] = exact_kept
         summary["near_dup_dropped"] = exact_kept - kept

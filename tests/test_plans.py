@@ -162,3 +162,54 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_labs")
+
+
+def test_pipeline_output_tables_join_without_exchange(spark, tmp_path_factory):
+    """The pipeline job lands training/ and chunks/ via write_bucketed
+    on doc_id; a consumer session re-attaches the layout with
+    register_bucketed and must get the training-x-chunks join AND the
+    per-doc chunk aggregation with ZERO Exchange nodes -- the whole
+    point of paying the partitioning once at pipeline write time.
+    This drives the same write path run_pipeline uses (write_bucketed
+    -> drop catalog entry -> register_bucketed), standing in for the
+    job's own write + a fresh consumer session."""
+    from boilerpipe_coffee_spark.operators.pretrain import emit_chunks
+    from boilerpipe_coffee_spark.sources import (
+        register_bucketed,
+        write_bucketed,
+    )
+
+    base = tmp_path_factory.mktemp("ppl_out")
+    training = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    write_bucketed(
+        training, "ppl_training_t", str(base / "training"), "doc_id"
+    )
+    write_bucketed(
+        emit_chunks(spark.read.parquet(str(base / "training"))),
+        "ppl_chunks_t", str(base / "chunks"), "doc_id",
+    )
+    # simulate the consumer session: the in-memory catalog forgets
+    spark.sql("DROP TABLE IF EXISTS ppl_training_t")
+    spark.sql("DROP TABLE IF EXISTS ppl_chunks_t")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tr = register_bucketed(
+            spark, "ppl_training_t", str(base / "training"), "doc_id"
+        )
+        ch = register_bucketed(
+            spark, "ppl_chunks_t", str(base / "chunks"), "doc_id"
+        )
+        j = tr.join(ch, "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+        agg = ch.groupBy("doc_id").count()
+        assert "Exchange" not in _plan(agg), _plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS ppl_training_t")
+        spark.sql("DROP TABLE IF EXISTS ppl_chunks_t")
