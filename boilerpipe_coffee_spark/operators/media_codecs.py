@@ -14,17 +14,45 @@ real-world files:
 The container lacks PIL/ffmpeg (environment limit); these replace the
 r1-r3 decode stubs with working codecs behind the same interface.
 Parsers raise ValueError on corrupt/unsupported input -- callers
-quarantine.
+quarantine.  The ``_parser`` decorator enforces that contract even for
+low-level explosions (struct.error / IndexError from truncated
+buffers), so a reader can never leak a non-ValueError into a Spark
+task and fail the whole job.
 """
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
 import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parser(fn):
+    """Normalize low-level parse failures to the module's documented
+    ValueError contract: truncated buffers surface as struct.error or
+    IndexError from fixed-size unpacks/indexing deep inside a reader,
+    and any such escape would fail a whole Spark job instead of
+    quarantining one row (ADVICE r4).  ValueError passes through
+    untouched; TypeError is deliberately NOT converted -- a None
+    payload is a caller bug the caller must guard (multimodal does)."""
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (struct.error, IndexError) as e:
+            raise ValueError(
+                f"{fn.__name__}: truncated or corrupt input "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrap
 
 
 # ------------------------------------------------------------------ #
@@ -58,6 +86,7 @@ def write_png(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+@_parser
 def read_png(buf: bytes) -> dict:
     """Parse an 8-bit grayscale PNG -> {width, height, pixels}."""
     if buf[:8] != PNG_SIG:
@@ -136,6 +165,7 @@ def write_wav(rate: int, samples: np.ndarray) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_parser
 def read_wav(buf: bytes) -> dict:
     """Parse a PCM WAV -> {rate, n_samples, duration_ms, samples}."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
@@ -303,6 +333,7 @@ def write_gif(
     return bytes(out)
 
 
+@_parser
 def read_gif(buf: bytes) -> dict:
     """Parse a GIF89a/87a -> {width, height, frames, delays_cs,
     duration_ms}.  Full-canvas, non-interlaced frames (what write_gif
@@ -423,9 +454,12 @@ def _pdf_unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def write_pdf(pages: list[str]) -> bytes:
+def write_pdf(pages: list[str], compress: bool = True) -> bytes:
     """One text page per entry; each page's text becomes Tj lines in a
-    FlateDecode content stream."""
+    content stream -- FlateDecode by default, raw when
+    ``compress=False`` (real-world corpora mix both; the reader
+    handles either, and the adversarial tests exercise marker bytes
+    inside both kinds)."""
     if not pages:
         raise ValueError("PDF needs at least one page")
     objs: list[bytes] = []  # 1-indexed object bodies
@@ -453,12 +487,13 @@ def write_pdf(pages: list[str]) -> bytes:
                 ops += b"T*\n"
             ops += b"(" + _pdf_escape(line) + b") Tj\n"
         ops += b"ET"
-        data = zlib.compress(bytes(ops), 6)
-        objs.append(
-            f"<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n".encode()
-            + data
-            + b"\nendstream"
-        )
+        if compress:
+            data = zlib.compress(bytes(ops), 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+        else:
+            data = bytes(ops)
+            head = f"<< /Length {len(data)} >>".encode()
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     buf = bytearray(b"%PDF-1.4\n")
@@ -545,6 +580,7 @@ def _stream_text(head: bytes, data: bytes | None) -> str:
     return text[:-1] if text.endswith("\n") else text
 
 
+@_parser
 def read_pdf(buf: bytes) -> dict:
     """Parse a text PDF -> {n_pages, pages: [text, ...]} in page-tree
     order.  Our writer uses one Tj per source line with T* line
@@ -554,6 +590,21 @@ def read_pdf(buf: bytes) -> dict:
     if b"/Encrypt" in buf:
         raise ValueError("encrypted PDF unsupported")
     objs = _parse_objects(buf)
+    # hybrid / stream xref (PDF 1.5+): objects may live compressed
+    # inside /ObjStm containers the sequential walk cannot see, so
+    # parsing "successfully" could silently drop pages -- reject into
+    # the quarantine path instead (ValueError, never a crash)
+    # /XRefStm sits in the TRAILER dict, so scan the whole buffer for
+    # it (a content stream containing those literal bytes would
+    # quarantine too -- conservative and safe)
+    if b"/XRefStm" in buf or any(
+        _re.search(rb"/Type\s*/(ObjStm|XRef)\b", head)
+        for head, _ in objs.values()
+    ):
+        raise ValueError(
+            "PDF uses object/cross-reference streams (hybrid xref) "
+            "-- unsupported, quarantining"
+        )
     if not objs:
         raise ValueError("PDF contains no objects")
     kids: list[int] = []

@@ -206,6 +206,11 @@ def decode_features(media: DataFrame) -> DataFrame:
             rows = []
             for r in pdf.itertuples():
                 try:
+                    if r.payload is None:
+                        # bytes(None) would raise TypeError and fail
+                        # the task; a null payload is just one more
+                        # undecodable row (ADVICE r4)
+                        raise ValueError("null payload")
                     feat = _decode(r.kind, bytes(r.payload))
                 except (NotImplementedError, ValueError):
                     feat = dict(_QUARANTINE)

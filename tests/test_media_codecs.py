@@ -192,3 +192,78 @@ def test_pdf_rejects_garbage():
     good = bytearray(mc.write_pdf(["some page text here"]))
     with _pytest.raises(ValueError):
         mc.read_pdf(bytes(good[: len(good) // 2]))  # truncated stream
+
+
+def test_readers_raise_valueerror_on_truncation():
+    """Truncated buffers used to surface struct.error/IndexError from
+    inside the readers (ADVICE r4) -- the _parser decorator must
+    normalize EVERY such explosion to the documented ValueError so the
+    Spark quarantine path catches it."""
+    import pytest as _pytest
+
+    gif = mc.write_gif(128, 1, [bytes(range(128))], [100])
+    wav = mc.write_wav(8000, __import__("numpy").zeros(64, dtype="<i2"))
+    png = mc.write_png(4, 4, bytes(16))
+    pdf = mc.write_pdf(["page"])
+    for buf in (gif, wav, png, pdf):
+        for cut in (7, 10, 13, len(buf) // 2, len(buf) - 3):
+            for reader in (mc.read_gif, mc.read_wav, mc.read_png, mc.read_pdf):
+                try:
+                    reader(buf[:cut])
+                except ValueError:
+                    pass  # the contract
+                except Exception as e:  # noqa: BLE001
+                    _pytest.fail(
+                        f"{reader.__name__} leaked {type(e).__name__} "
+                        f"on {len(buf[:cut])}-byte input: {e}"
+                    )
+
+
+def test_pdf_uncompressed_round_trip():
+    pages = ["raw stream page", "with (escapes) \\ too"]
+    buf = mc.write_pdf(pages, compress=False)
+    assert b"/FlateDecode" not in buf
+    assert mc.read_pdf(buf)["pages"] == pages
+    # and mixed corpora: compressed next to raw must both parse
+    assert mc.read_pdf(mc.write_pdf(pages))["pages"] == pages
+
+
+def test_pdf_marker_bytes_in_compressed_and_raw_streams():
+    """Adversarial corpus for the /Length-driven walk: BOTH stream
+    kinds carrying marker bytes.  The raw content stream literally
+    contains endobj/endstream/N 0 obj; the compressed page is
+    FlateDecode whose DEFLATE bytes are opaque binary (any marker can
+    occur by chance at corpus scale -- the committed case pins the
+    slicing, not the luck)."""
+    marker_text = "x endstream endobj 3 0 obj stream y"
+    raw = mc.write_pdf([marker_text, "second page"], compress=False)
+    assert b"endstream endobj" in raw  # markers really are in-stream
+    assert mc.read_pdf(raw)["pages"] == [marker_text, "second page"]
+    comp = mc.write_pdf([marker_text, "second page"], compress=True)
+    assert mc.read_pdf(comp)["pages"] == [marker_text, "second page"]
+
+
+def test_pdf_hybrid_xref_quarantines():
+    """PDF 1.5+ object/cross-reference streams hide objects where the
+    sequential walk cannot see them -- parsing 'successfully' would
+    silently drop pages, so the reader must reject into the
+    quarantine path (ValueError, never a crash or silent loss)."""
+    import pytest as _pytest
+
+    good = mc.write_pdf(["visible page"])
+    # splice an /ObjStm object in front of the trailer
+    body = b"10 0 6 << >>\n"
+    objstm = (
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First 6 /Length "
+        + str(len(body)).encode() + b" >>\nstream\n"
+        + body + b"endstream\nendobj\n"
+    )
+    hybrid = good.replace(b"xref\n", objstm + b"xref\n", 1)
+    with _pytest.raises(ValueError, match="hybrid xref"):
+        mc.read_pdf(hybrid)
+    # trailer-level /XRefStm pointer alone must also quarantine
+    hybrid2 = good.replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /XRefStm 12345", 1
+    )
+    with _pytest.raises(ValueError, match="hybrid xref"):
+        mc.read_pdf(hybrid2)

@@ -233,16 +233,31 @@ def test_multimodal_decode_quarantines_corrupt(spark):
 
     good = synth_payload("m1", "image")
     corrupt = good[:20] + b"\x00\x00\x00\x00" + good[24:]  # break CRC
+    vid = synth_payload("m5", "video")
+    aud = synth_payload("m6", "audio")
     pdf = pd.DataFrame(
         {
-            "doc_id": ["d1", "d1", "d2", "d2"],
-            "media_ref": ["m1", "m2", "m3", "m4"],
-            "kind": ["image", "image", "audio", "video"],
+            "doc_id": ["d1", "d1", "d2", "d2", "d3", "d3", "d3", "d4"],
+            "media_ref": ["m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8"],
+            "kind": [
+                "image", "image", "audio", "video",
+                # TRUNCATED payloads (ADVICE r4): these used to escape
+                # the quarantine as struct.error/IndexError and fail
+                # the whole job; [:10] cuts mid-header, [:7] cuts the
+                # GIF dimensions short
+                "video", "audio", "video",
+                # null payload: bytes(None) would TypeError
+                "image",
+            ],
             "payload": [
                 good,
                 corrupt,
                 b"\x00garbage",
                 synth_payload("m4", "audio"),  # kind/container mismatch
+                vid[:10],
+                aud[:7],
+                vid[:7],
+                None,
             ],
         }
     )
@@ -253,7 +268,7 @@ def test_multimodal_decode_quarantines_corrupt(spark):
         ).collect()
     }
     assert feats["m1"].width is not None
-    for bad in ("m2", "m3", "m4"):
+    for bad in ("m2", "m3", "m4", "m5", "m6", "m7", "m8"):
         assert feats[bad].n_bytes is None, bad
         assert feats[bad].embedding is None, bad
 
