@@ -20,6 +20,7 @@ per-partition lineage + metrics.  Strategy (SURVEY.md section 4):
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 
@@ -251,7 +252,14 @@ def extract_balanced(
 
     The persisted intermediate lives until the caller releases it: the
     returned frame carries it as ``_balanced_intermediate`` and
-    ``run_partitioned`` unpersists after its write commits.
+    ``run_partitioned`` unpersists after its write commits.  CAUTION
+    (ADVICE r4): that attribute is a plain Python attribute on THIS
+    DataFrame object -- it does NOT survive any further transformation
+    (``out.filter(...)`` returns a new frame without it), and a caller
+    that drops the frame without unpersisting leaks the DISK_ONLY
+    blocks for the session.  Direct callers should prefer
+    :func:`extract_balanced_scoped`, which releases the intermediate
+    on exit.
 
     ``probe``: optional accumulator, incremented once per INPUT
     document seen by the sizing pass (test hook for the
@@ -383,3 +391,23 @@ def extract_balanced(
     out = normals.unionByName(extract_arrow(giants, extractor))
     out._balanced_intermediate = mid
     return out
+
+
+@contextlib.contextmanager
+def extract_balanced_scoped(
+    df: DataFrame,
+    extractor: str = "ArticleExtractor",
+    giant_chars: int = 200_000,
+):
+    """Context-managed :func:`extract_balanced` for direct callers:
+    yields the balanced frame and ALWAYS unpersists the DISK_ONLY
+    intermediate on exit, so ad-hoc use cannot leak persisted blocks
+    for the session (run_partitioned manages the lifetime itself and
+    keeps calling extract_balanced directly).  Consume the frame
+    (write/collect) INSIDE the block -- after exit the persisted
+    blocks are gone and recomputation repeats the full scan."""
+    out = extract_balanced(df, extractor, giant_chars)
+    try:
+        yield out
+    finally:
+        out._balanced_intermediate.unpersist()

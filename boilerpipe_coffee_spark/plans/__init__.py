@@ -30,7 +30,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     arrow_batch: int = 1024,
     extra_conf: dict | None = None,
+    periodic_gc: str | None = "30s",
 ) -> SparkSession:
+    """``periodic_gc``: ContextCleaner reclaims shuffle files and
+    broadcasts only after a driver GC; the Spark default (30 min)
+    lets a long-lived session hosting many queries accumulate state
+    (r4 measured: late-suite queries inflated ~2x after ~100
+    queries).  The 30s default here keeps that steady state for the
+    bench/driver-style sessions this builder mostly serves; pass
+    ``None`` for a short single-job run or a large-heap driver where
+    periodic full GCs are pure pause-time (ADVICE r4)."""
     cpus = default_cpus()
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or 4 * cpus
@@ -46,13 +55,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
-        # ContextCleaner reclaims shuffle files/broadcasts only after a
-        # driver GC; the 30-min default lets a long-lived session that
-        # hosts many queries accumulate state (r4 measured: late-suite
-        # queries inflated ~2x after ~100 queries).  A short periodic
-        # GC keeps steady state; no effect on short-lived jobs.
-        .config("spark.cleaner.periodicGC.interval", "30s")
     )
+    if periodic_gc is not None:
+        builder = builder.config(
+            "spark.cleaner.periodicGC.interval", periodic_gc
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
