@@ -256,6 +256,7 @@ PROMOTED = [
 EXTRA = [
     "events_json_props",
     "stratified_sample",
+    "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
 ]
 
 

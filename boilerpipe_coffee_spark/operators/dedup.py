@@ -605,6 +605,77 @@ ORDER BY doc_a, doc_b
 DEDUP_SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
+def simhash_chunk_stats(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
+    """Monitoring companion to the SimHash chunk-bucket cap (round 5;
+    mirrors :func:`minhash_band_stats` / ``emb_bucket_stats``):
+    chunk-bucket occupancy, how many buckets/docs the cap drops, and
+    the surviving-candidate upper bound + ratio -- the number an
+    operator watches to see a boilerplate flood before it sees a slow
+    pairing join.  O(buckets) frame, no pair materialization."""
+    sig = simhash_sigs_df(_t(spark, sf_dir, "documents"))
+    chunks = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(65535))
+                        + F.lit(i * 65536)
+                    ).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    counts = chunks.groupBy("chunk_key").agg(F.count("*").alias("bucket_n"))
+    n_docs = F.sum("bucket_n") / 4  # each doc contributes 4 chunk rows
+    cand_bound = F.sum(
+        F.when(
+            F.col("bucket_n") <= bucket_cap,
+            F.col("bucket_n") * (F.col("bucket_n") - 1) / 2,
+        ).otherwise(0)
+    ).cast("bigint")
+    return counts.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("bucket_n").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_n") > bucket_cap, 1).otherwise(0)).alias(
+            "buckets_dropped"
+        ),
+        F.sum(
+            F.when(F.col("bucket_n") > bucket_cap, F.col("bucket_n")).otherwise(0)
+        ).alias("docs_in_dropped"),
+        cand_bound.alias("cand_pairs_bound"),
+        F.round(
+            cand_bound / F.greatest(n_docs * (n_docs - 1) / 2, F.lit(1.0)), 6
+        ).alias("cand_ratio"),
+    )
+
+
+SIMHASH_CHUNK_STATS_SQL = f"""
+WITH {_simhash_ctes()}, chunks AS (
+  SELECT doc_id, ((simhash >> (16 * i)) & 65535) + i * 65536 AS chunk_key
+  FROM sig, unnest([0, 1, 2, 3]) AS t(i)
+), bc AS (
+  SELECT chunk_key, count(*) AS bucket_n FROM chunks GROUP BY chunk_key
+)
+SELECT count(*) AS n_buckets,
+       max(bucket_n) AS max_bucket,
+       sum(CASE WHEN bucket_n > {BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT
+         AS buckets_dropped,
+       sum(CASE WHEN bucket_n > {BUCKET_CAP} THEN bucket_n ELSE 0 END)::BIGINT
+         AS docs_in_dropped,
+       sum(CASE WHEN bucket_n <= {BUCKET_CAP}
+                THEN bucket_n * (bucket_n - 1) / 2 ELSE 0 END)::BIGINT
+         AS cand_pairs_bound,
+       round(sum(CASE WHEN bucket_n <= {BUCKET_CAP}
+                      THEN bucket_n * (bucket_n - 1) / 2 ELSE 0 END)
+             / greatest((sum(bucket_n) / 4) * (sum(bucket_n) / 4 - 1) / 2,
+                        1.0), 6) AS cand_ratio
+FROM bc
+"""
+
+
 # ------------------------------------------------------------------ #
 # duplicate-cluster resolution: candidate pairs -> connected           #
 # components -> canonical keep-set                                     #
@@ -840,6 +911,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_clusters": dedup_clusters,
     "minhash_band_stats": minhash_band_stats,
+    "simhash_chunk_stats": simhash_chunk_stats,
 }
 
 ORACLES = {
@@ -850,4 +922,5 @@ ORACLES = {
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "simhash_chunk_stats": SIMHASH_CHUNK_STATS_SQL,
 }
