@@ -147,3 +147,117 @@ def test_sessionize_survives_restart(spark, tmp_path):
     want = sorted(tuple(r) for r in sessionize_events(spark, SF_DIR).collect())
     assert len(got) == len(set(got)), "duplicate sessions in the sink"
     assert got == want
+
+
+def test_stateful_dedup_survives_restart(spark, tmp_path):
+    """applyInPandasWithState dedup (NoTimeout, cumulative emissions):
+    state is the running (min doc_id, count) per content hash, so the
+    restart must carry phase-1 counts forward -- folding the sink
+    reproduces batch dedup_exact only if the recovered state kept
+    counting, not restarted from zero."""
+    from boilerpipe_coffee_spark.streaming import dedup_first_seen
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    with _scoped_conf(spark, _STREAM_CONFS):
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(3).write.parquet(
+            drops
+        )
+        c1 = _run_phase(spark, docs.schema, drops, out, ckpt,
+                        dedup_first_seen)
+        assert c1 > 0
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(3).write.mode(
+            "append"
+        ).parquet(drops)
+        c2 = _run_phase(spark, docs.schema, drops, out, ckpt,
+                        dedup_first_seen)
+        assert c2 > c1
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .groupBy("content_hash")
+        .agg(
+            F.max("n_cum").alias("n_docs"),
+            F.min("min_doc_id").alias("keep_doc_id"),
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.groupBy(F.md5("text").alias("content_hash")).agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_stream_stream_join_survives_restart(spark, tmp_path):
+    """Watermarked stream-stream interval join: phase 1 sees only the
+    clicks side's early half, so many purchase rows buffer in join
+    state; the restart must recover that buffered state to emit the
+    cross-phase matches.  Final sink == batch join, no duplicates."""
+    from boilerpipe_coffee_spark.streaming import (
+        click_purchase_join_stream,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def transform(stream):
+        return click_purchase_join_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            watermark_delay="40 days",
+        )
+
+    # split so matches CROSS the phases: all purchases land in phase 1
+    # (their clicks mostly arrive in phase 2)
+    with _scoped_conf(spark, _STREAM_CONFS):
+        events.filter(F.col("event_type") == "purchase").repartition(
+            2
+        ).write.parquet(drops)
+        c1 = _run_phase(spark, events.schema, drops, out, ckpt, transform)
+        assert c1 > 0
+        events.filter(F.col("event_type") != "purchase").repartition(
+            4
+        ).write.mode("append").parquet(drops)
+        c2 = _run_phase(spark, events.schema, drops, out, ckpt, transform)
+        assert c2 > c1
+
+    sink = spark.read.parquet(out)
+    got = sorted(tuple(r) for r in sink.collect())
+    assert len(got) == len(set(got)), "duplicate join rows in the sink"
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    want = sorted(
+        tuple(r)
+        for r in purchases.alias("p")
+        .join(
+            clicks.alias("c"),
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("interval 1 hour"))
+            & (F.col("c.ts") <= F.col("p.ts")),
+        )
+        .select(
+            F.col("p.user_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.event_id").alias("click_id"),
+            F.unix_timestamp(F.col("p.ts").cast("timestamp")).alias(
+                "purchase_epoch"
+            ),
+            F.unix_timestamp(F.col("c.ts").cast("timestamp")).alias(
+                "click_epoch"
+            ),
+            F.round("p.value", 4).alias("purchase_value"),
+        )
+        .collect()
+    )
+    assert got == want
