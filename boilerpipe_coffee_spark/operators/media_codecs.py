@@ -454,12 +454,22 @@ def _pdf_unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def write_pdf(pages: list[str], compress: bool = True) -> bytes:
+def write_pdf(
+    pages: list[str], compress: bool = True, object_streams: bool = False
+) -> bytes:
     """One text page per entry; each page's text becomes Tj lines in a
     content stream -- FlateDecode by default, raw when
     ``compress=False`` (real-world corpora mix both; the reader
     handles either, and the adversarial tests exercise marker bytes
-    inside both kinds)."""
+    inside both kinds).
+
+    ``object_streams=True`` emits a PDF 1.5 file: every dictionary
+    object (catalog, page tree, pages, font) rides compressed inside a
+    /Type /ObjStm container, and the cross-reference table is a
+    /Type /XRef stream (binary /W [1 4 1] rows, type-2 entries
+    pointing into the ObjStm) -- the layout virtually every modern PDF
+    producer emits, and the one naive sequential parsers cannot see
+    into."""
     if not pages:
         raise ValueError("PDF needs at least one page")
     objs: list[bytes] = []  # 1-indexed object bodies
@@ -496,20 +506,75 @@ def write_pdf(pages: list[str], compress: bool = True) -> bytes:
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
-    buf = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for num, body in enumerate(objs, start=1):
-        offsets.append(len(buf))
-        buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    if not object_streams:
+        buf = bytearray(b"%PDF-1.4\n")
+        offsets = [0]
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(buf))
+            buf += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(buf)
+        buf += f"xref\n0 {len(objs) + 1}\n".encode()
+        buf += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            buf += f"{off:010d} 00000 n \n".encode()
+        buf += (
+            f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(buf)
+
+    # ---- PDF 1.5 layout: ObjStm + xref stream -------------------- #
+    # stream objects (page contents) cannot live inside an ObjStm per
+    # spec; every dictionary object becomes a type-2 member
+    stream_nums = {4 + 2 * i for i in range(n_pages)}
+    member_nums = [
+        n for n in range(1, len(objs) + 1) if n not in stream_nums
+    ]
+    s_num = len(objs) + 1  # the ObjStm container
+    x_num = s_num + 1  # the xref stream
+    header_parts, bodies, off = [], [], 0
+    for n in member_nums:
+        body = objs[n - 1]
+        header_parts.append(f"{n} {off}")
+        bodies.append(body + b"\n")
+        off += len(body) + 1
+    hdr = (" ".join(header_parts) + "\n").encode()
+    content = hdr + b"".join(bodies)
+    sdata = zlib.compress(content, 6) if compress else content
+    filt = " /Filter /FlateDecode" if compress else ""
+    objstm_obj = (
+        f"<< /Type /ObjStm /N {len(member_nums)} /First {len(hdr)} "
+        f"/Length {len(sdata)}{filt} >>".encode()
+        + b"\nstream\n" + sdata + b"\nendstream"
+    )
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets2: dict[int, int] = {}
+    for n in sorted(stream_nums):
+        offsets2[n] = len(buf)
+        buf += f"{n} 0 obj\n".encode() + objs[n - 1] + b"\nendobj\n"
+    offsets2[s_num] = len(buf)
+    buf += f"{s_num} 0 obj\n".encode() + objstm_obj + b"\nendobj\n"
     xref_at = len(buf)
-    buf += f"xref\n0 {len(objs) + 1}\n".encode()
-    buf += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        buf += f"{off:010d} 00000 n \n".encode()
-    buf += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+    size = x_num + 1
+    rows = bytearray()
+    for n in range(size):
+        if n == 0:
+            t, f2, f3 = 0, 0, 0  # the free-list head
+        elif n == x_num:
+            t, f2, f3 = 1, xref_at, 0
+        elif n in offsets2:
+            t, f2, f3 = 1, offsets2[n], 0
+        else:
+            t, f2, f3 = 2, s_num, member_nums.index(n)
+        rows += struct.pack(">BIB", t, f2, f3)
+    xref_obj = (
+        f"<< /Type /XRef /Size {size} /W [1 4 1] /Root 1 0 R "
+        f"/Length {len(rows)} >>".encode()
+        + b"\nstream\n" + bytes(rows) + b"\nendstream"
+    )
+    buf += f"{x_num} 0 obj\n".encode() + xref_obj + b"\nendobj\n"
+    buf += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(buf)
 
 
@@ -551,6 +616,12 @@ def _parse_objects(buf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             if len(data) != length:
                 raise ValueError("truncated PDF stream")
             objs[num] = (head, data)
+            # PDF 1.5 object streams: dictionary objects ride inside
+            # this container -- expand them NOW, in file order, so a
+            # later (incremental-update) definition still overrides an
+            # earlier one via plain dict assignment
+            if _re.search(rb"/Type\s*/ObjStm\b", head):
+                _expand_objstm(head, data, objs)
             end = buf.find(b"endobj", sm.end() + length)
             if end == -1:
                 raise ValueError("unterminated PDF stream object")
@@ -558,6 +629,43 @@ def _parse_objects(buf: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             objs[num] = (buf[p:end], None)
         pos = end + 6
     return objs
+
+
+def _expand_objstm(
+    head: bytes, data: bytes, objs: dict[int, tuple[bytes, bytes | None]]
+) -> None:
+    """Expand a /Type /ObjStm container into ``objs``: decompressed
+    content starts with /N whitespace-separated (objnum, offset) pairs;
+    member bodies begin at /First.  Members are dictionary objects only
+    (the spec forbids streams inside an ObjStm), so each lands as a
+    (body, None) entry.  Any structural inconsistency raises ValueError
+    -- a silently-partial expansion would drop pages undetectably."""
+    if b"/FlateDecode" in head:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"ObjStm inflate failed: {e}") from e
+    nm = _re.search(rb"/N\s+(\d+)\b", head)
+    fm = _re.search(rb"/First\s+(\d+)\b", head)
+    if nm is None or fm is None:
+        raise ValueError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    if first > len(data):
+        raise ValueError("ObjStm /First beyond stream data")
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("ObjStm pair header truncated")
+    try:
+        ints = [int(x) for x in header[: 2 * n]]
+    except ValueError as e:
+        raise ValueError("ObjStm pair header not integers") from e
+    nums, offs = ints[0::2], ints[1::2]
+    body_len = len(data) - first
+    for i, (num, off) in enumerate(zip(nums, offs)):
+        end = offs[i + 1] if i + 1 < n else body_len
+        if not (0 <= off <= end <= body_len):
+            raise ValueError("ObjStm member offsets out of range")
+        objs[num] = (data[first + off : first + end], None)
 
 
 def _stream_text(head: bytes, data: bytes | None) -> str:
@@ -590,21 +698,11 @@ def read_pdf(buf: bytes) -> dict:
     if b"/Encrypt" in buf:
         raise ValueError("encrypted PDF unsupported")
     objs = _parse_objects(buf)
-    # hybrid / stream xref (PDF 1.5+): objects may live compressed
-    # inside /ObjStm containers the sequential walk cannot see, so
-    # parsing "successfully" could silently drop pages -- reject into
-    # the quarantine path instead (ValueError, never a crash)
-    # /XRefStm sits in the TRAILER dict, so scan the whole buffer for
-    # it (a content stream containing those literal bytes would
-    # quarantine too -- conservative and safe)
-    if b"/XRefStm" in buf or any(
-        _re.search(rb"/Type\s*/(ObjStm|XRef)\b", head)
-        for head, _ in objs.values()
-    ):
-        raise ValueError(
-            "PDF uses object/cross-reference streams (hybrid xref) "
-            "-- unsupported, quarantining"
-        )
+    # PDF 1.5 object-stream files are SUPPORTED (round 5): the walk
+    # expands /ObjStm containers inline (see _expand_objstm), so
+    # type-2 xref entries resolve without reading the xref stream at
+    # all; /Type /XRef objects are just binary streams the walk skips.
+    # Malformed ObjStm structure raises ValueError -> quarantine.
     if not objs:
         raise ValueError("PDF contains no objects")
     kids: list[int] = []

@@ -407,7 +407,11 @@ def synth_pdf_corpus(spark, n_docs: int, seed: int = 42) -> DataFrame:
     """Deterministic PDF corpus: each synthetic interleaved doc's text
     spans (offset order) become the pages of a real PDF -- so
     ``pdf_to_interleaved`` of this corpus reproduces the text spans of
-    the HTML corpus exactly, and extraction equality is testable."""
+    the HTML corpus exactly, and extraction equality is testable.
+    Docs rotate through the writer's three real-world layouts
+    (classic compressed, classic raw streams, PDF 1.5 object-stream)
+    by doc index, so the ingestion path is exercised against the mix a
+    crawled corpus actually contains."""
     from ..sources import synth_interleaved
     from . import media_codecs as mc
 
@@ -425,7 +429,16 @@ def synth_pdf_corpus(spark, n_docs: int, seed: int = 42) -> DataFrame:
                     )
                 ]
                 ids.append(r.doc_id)
-                payloads.append(mc.write_pdf(texts or [""]))
+                variant = int(r.doc_id.rsplit("-", 1)[-1]) % 3 if (
+                    "-" in r.doc_id
+                ) else 0
+                payloads.append(
+                    mc.write_pdf(
+                        texts or [""],
+                        compress=variant != 1,
+                        object_streams=variant == 2,
+                    )
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.mapInPandas(render, schema="doc_id string, payload binary")

@@ -243,27 +243,39 @@ def test_pdf_marker_bytes_in_compressed_and_raw_streams():
     assert mc.read_pdf(comp)["pages"] == [marker_text, "second page"]
 
 
-def test_pdf_hybrid_xref_quarantines():
-    """PDF 1.5+ object/cross-reference streams hide objects where the
-    sequential walk cannot see them -- parsing 'successfully' would
-    silently drop pages, so the reader must reject into the
-    quarantine path (ValueError, never a crash or silent loss)."""
+def test_pdf_object_streams_round_trip():
+    """PDF 1.5 files (the modern default layout): dictionary objects
+    compressed inside a /Type /ObjStm container, binary /Type /XRef
+    stream with type-2 entries.  The walk must expand the container
+    and round-trip page text exactly, for compressed and raw ObjStm
+    content, including marker bytes inside the content streams."""
+    pages = ["modern layout page", "x endstream endobj 3 0 obj y", ""]
+    for compress in (True, False):
+        buf = mc.write_pdf(pages, compress=compress, object_streams=True)
+        assert b"/ObjStm" in buf and b"/XRef" in buf
+        # the page-tree dicts really are hidden inside the container
+        assert b"2 0 obj\n<< /Type /Pages" not in buf
+        d = mc.read_pdf(buf)
+        assert d["pages"] == pages, compress
+
+
+def test_pdf_malformed_objstm_quarantines():
+    """A structurally-broken ObjStm must raise the quarantine
+    ValueError, never silently drop the pages it hides or leak a
+    low-level exception."""
     import pytest as _pytest
 
-    good = mc.write_pdf(["visible page"])
-    # splice an /ObjStm object in front of the trailer
-    body = b"10 0 6 << >>\n"
-    objstm = (
-        b"9 0 obj\n<< /Type /ObjStm /N 1 /First 6 /Length "
-        + str(len(body)).encode() + b" >>\nstream\n"
-        + body + b"endstream\nendobj\n"
-    )
-    hybrid = good.replace(b"xref\n", objstm + b"xref\n", 1)
-    with _pytest.raises(ValueError, match="hybrid xref"):
-        mc.read_pdf(hybrid)
-    # trailer-level /XRefStm pointer alone must also quarantine
-    hybrid2 = good.replace(
-        b"/Root 1 0 R", b"/Root 1 0 R /XRefStm 12345", 1
-    )
-    with _pytest.raises(ValueError, match="hybrid xref"):
-        mc.read_pdf(hybrid2)
+    good = mc.write_pdf(["only page"], object_streams=True)
+    # corrupt the compressed container body: inflate fails
+    import re as _re2
+
+    m = _re2.search(rb"/Type /ObjStm[^>]*>>\nstream\n", good)
+    assert m
+    bad = bytearray(good)
+    bad[m.end() : m.end() + 4] = b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError):
+        mc.read_pdf(bytes(bad))
+    # raw container with a lying /N: pair header too short
+    raw = mc.write_pdf(["only page"], compress=False, object_streams=True)
+    with _pytest.raises(ValueError, match="ObjStm"):
+        mc.read_pdf(raw.replace(b"/Type /ObjStm /N 4", b"/Type /ObjStm /N 40"))
