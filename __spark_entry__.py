@@ -257,6 +257,7 @@ EXTRA = [
     "events_json_props",
     "stratified_sample",
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
+    "pack_concat_split",  # r5 two-phase-prefix-sum sequence packing
 ]
 
 

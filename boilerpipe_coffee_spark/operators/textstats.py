@@ -813,7 +813,112 @@ FROM cum, tot
 QUALITY_QUANTILES_SQL = _quality_quantiles_sql()
 
 
+def pack_concat_split(spark, sf_dir, window: int = None):
+    """Concat-and-split sequence packing -- the production packing
+    strategy (vs :func:`packing_stats`' naive one-doc-per-chunk
+    planning numbers): all kept documents' token streams concatenate
+    in doc_id order and split into fixed ``window``-token training
+    bins with ZERO padding except the final bin.  Output maps each
+    document to the bins it lands in: (doc_id, bin_id, tok_start,
+    tok_end) with [tok_start, tok_end) the within-doc token range
+    contributed to that bin.
+
+    Scale shape: the global running token offset is the classic
+    TWO-PHASE distributed prefix sum -- deterministic integer range
+    partitioning on doc_id (no repartitionByRange: its sampled
+    boundaries are not stable across the two passes), per-partition
+    totals collected driver-side (O(partitions) rows), prefix offsets
+    broadcast-joined back, cumsum windowed WITHIN each partition.  No
+    single-reducer global window anywhere; bins follow from pure
+    arithmetic + a bounded sequence explode (a doc spanning k bins
+    emits k rows, sum(k) = total_tokens/window + n_docs).
+
+    The DuckDB oracle is the direct single-node form (one global
+    window cumsum + range join), value-identical by construction."""
+    window = window or CONTEXT_LEN
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.expr(_TOKENS)).alias("n_toks"))
+        .filter(F.col("n_toks") > 0)
+    )
+    # deterministic integer range partitioning: doc_id // span.  (For
+    # non-integer ids you would range-sample once and PERSIST the
+    # partitioned frame so both passes see identical boundaries.)
+    n_parts = spark.sparkContext.defaultParallelism
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    span = max((int(hi) - int(lo)) // n_parts + 1, 1)
+    parted = docs.withColumn(
+        "pid", ((F.col("doc_id") - F.lit(int(lo))) / F.lit(span)).cast("int")
+    )
+    # phase 1: O(partitions) totals -> prefix offsets, broadcast back
+    totals = sorted(
+        (r.pid, r.t)
+        for r in parted.groupBy("pid").agg(F.sum("n_toks").alias("t")).collect()
+    )
+    prefix, acc = [], 0
+    for pid, t in totals:
+        prefix.append((pid, acc))
+        acc += int(t)
+    offsets = spark.createDataFrame(prefix, "pid int, part_off bigint")
+    # phase 2: in-partition cumsum + broadcast prefix = global offset
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = F.coalesce(F.sum("n_toks").over(w), F.lit(0)) + F.col("part_off")
+    sized = parted.join(F.broadcast(offsets), "pid").withColumn("s", s)
+    win = F.lit(window).cast("bigint")
+    bins = sized.select(
+        "doc_id",
+        "n_toks",
+        "s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / win),
+                F.floor((F.col("s") + F.col("n_toks") - 1) / win),
+            )
+        ).alias("bin_id"),
+    )
+    bin_lo = F.col("bin_id") * win
+    tok_start = F.greatest(F.col("s"), bin_lo) - F.col("s")
+    tok_end = F.least(F.col("s") + F.col("n_toks"), bin_lo + win) - F.col("s")
+    return bins.select(
+        "doc_id",
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        tok_start.cast("bigint").alias("tok_start"),
+        tok_end.cast("bigint").alias("tok_end"),
+    ).orderBy("doc_id", "bin_id")
+
+
+PACK_CONCAT_SPLIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len({_TOKENS_DUCK})::BIGINT AS n_toks FROM documents
+  WHERE len({_TOKENS_DUCK}) > 0
+), cum AS (
+  SELECT doc_id, n_toks,
+         COALESCE(sum(n_toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0)::BIGINT AS s
+  FROM toks
+), bins AS (
+  -- scalar range() (list form) accepts column bounds, unlike the
+  -- table function, which only takes constants
+  SELECT doc_id, n_toks, s,
+         unnest(range(s // {CONTEXT_LEN},
+                      (s + n_toks - 1) // {CONTEXT_LEN} + 1)) AS bin_id
+  FROM cum
+)
+SELECT doc_id, bin_id,
+       (GREATEST(s, bin_id * {CONTEXT_LEN}) - s)::BIGINT AS tok_start,
+       (LEAST(s + n_toks, (bin_id + 1) * {CONTEXT_LEN}) - s)::BIGINT
+         AS tok_end
+FROM bins ORDER BY doc_id, bin_id
+"""
+
+
 QUERIES = {
+    "pack_concat_split": pack_concat_split,
     "quality_histogram_quantiles": quality_histogram_quantiles,
     "contamination_check": contamination_check,
     "packing_stats": packing_stats,
@@ -830,6 +935,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pack_concat_split": PACK_CONCAT_SPLIT_SQL,
     "quality_histogram_quantiles": QUALITY_QUANTILES_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "packing_stats": PACKING_SQL,

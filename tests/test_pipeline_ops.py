@@ -589,3 +589,58 @@ def test_pdf_corrupt_payload_quarantines(spark):
     for bad in ("bad1", "bad2"):
         assert rows[bad].error and rows[bad].error.startswith("pdf_parse")
         assert rows[bad].spans == []
+
+
+def test_pack_concat_split_semantics(spark):
+    """Concat-and-split packing invariants, independent of the oracle:
+    every token of every doc lands in exactly one bin slice, slices
+    within a doc are contiguous and ordered, every bin is exactly
+    CONTEXT_LEN tokens except the last, and the result is identical
+    under a different parallelism (the two-phase prefix sum must not
+    depend on partition count)."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        CONTEXT_LEN,
+        pack_concat_split,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = pack_concat_split(spark, sf).collect()
+    # per-doc: slices cover [0, n_toks) with no gaps or overlaps
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append((r.bin_id, r.tok_start, r.tok_end))
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pyspark.sql import functions as F
+    from boilerpipe_coffee_spark.functions import TOKENS
+
+    n_toks = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.expr(TOKENS)).alias("n")
+        ).collect()
+        if r.n > 0
+    }
+    assert set(by_doc) == set(n_toks)
+    for doc, slices in by_doc.items():
+        slices.sort()
+        assert slices[0][1] == 0
+        assert slices[-1][2] == n_toks[doc]
+        for (b1, _, e1), (b2, s2, _) in zip(slices, slices[1:]):
+            assert e1 == s2 and b2 == b1 + 1  # contiguous, adjacent bins
+    # per-bin: exactly CONTEXT_LEN tokens except the final bin
+    bin_fill = defaultdict(int)
+    for r in rows:
+        bin_fill[r.bin_id] += r.tok_end - r.tok_start
+    last = max(bin_fill)
+    for b, fill in bin_fill.items():
+        assert fill == CONTEXT_LEN or (b == last and fill <= CONTEXT_LEN), (
+            b, fill,
+        )
+    total = sum(n_toks.values())
+    assert sum(bin_fill.values()) == total
+    assert last == (total - 1) // CONTEXT_LEN
+    # partition-count invariance of the distributed prefix sum
+    rows4 = pack_concat_split(spark, sf).collect()  # same session
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows4))
