@@ -139,6 +139,7 @@ SUITE = [
     "quality_histogram_quantiles",
     "doc_chunks",
     "stratified_sample",
+    "pack_concat_split",
 ]
 
 
