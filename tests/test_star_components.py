@@ -212,3 +212,47 @@ def test_reliable_checkpoint_dir_identical_labels(spark, tmp_path):
     )
     assert star_base == star_reliable
     assert all(cl == 0 for _, cl in star_base)
+
+
+def test_components_large_random_graph(spark):
+    """Scale-shaped stress: 30k nodes / ~60k random edges (mixed
+    component sizes, including one giant component) resolved by the
+    default path and verified against a python union-find -- an order
+    of magnitude beyond the 400-node unit graph, so iteration-count
+    and fallback behavior get exercised on a graph whose structure is
+    not hand-shaped."""
+    import random
+
+    from boilerpipe_coffee_spark.operators.dedup import resolve_components
+
+    rng = random.Random(20260817)
+    n = 30_000
+    edges = {
+        (min(a, b), max(a, b))
+        for a, b in (
+            (rng.randrange(n), rng.randrange(n)) for _ in range(60_000)
+        )
+        if a != b
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(
+        sorted(edges), "doc_a bigint, doc_b bigint"
+    ).repartition(8)
+    got = {
+        r.doc_id: r.cluster_id for r in resolve_components(df).collect()
+    }
+    assert got == want
