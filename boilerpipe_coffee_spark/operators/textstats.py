@@ -835,20 +835,46 @@ def pack_concat_split(spark, sf_dir, window: int = None):
 
     The DuckDB oracle is the direct single-node form (one global
     window cumsum + range join), value-identical by construction."""
-    window = window or CONTEXT_LEN
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.size(F.expr(_TOKENS)).alias("n_toks"))
-        .filter(F.col("n_toks") > 0)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
     )
-    # deterministic integer range partitioning: doc_id // span.  (For
-    # non-integer ids you would range-sample once and PERSIST the
-    # partitioned frame so both passes see identical boundaries.)
+    return pack_slices_df(docs, window, key_col="doc_id").select(
+        "doc_id", "bin_id", "tok_start", "tok_end"
+    ).orderBy("doc_id", "bin_id")
+
+
+def pack_slices_df(
+    docs: DataFrame, window: int = None, key_col: str = "doc_id"
+) -> DataFrame:
+    """DataFrame-level packing core (see :func:`pack_concat_split` for
+    the algorithm): ``docs`` carries (doc_id, toks array<string>) plus
+    an INTEGER ``key_col`` giving the deterministic packing order
+    (doc_id itself when integer; the pipeline passes
+    ``xxhash64(doc_id)`` for string ids -- packing order only needs to
+    be deterministic, and a pseudorandom document order is the
+    shuffled-corpus behavior pretraining wants anyway).  Returns one
+    row per (doc, bin) slice: input columns + (bin_id, tok_start,
+    tok_end), unsorted."""
+    window = window or CONTEXT_LEN
+    spark = docs.sparkSession
+    sized = docs.withColumn("n_toks", F.size("toks")).filter(
+        F.col("n_toks") > 0
+    )
+    # deterministic integer range partitioning: key // span.  (NOT
+    # repartitionByRange: its sampled boundaries are not stable across
+    # the two passes this computation makes.)
     n_parts = spark.sparkContext.defaultParallelism
-    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    lo, hi = sized.agg(F.min(key_col), F.max(key_col)).collect()[0]
+    if lo is None:  # empty input: keep the schema, skip the machinery
+        lo, hi = 0, 0
+    # span in PYTHON ints (hi-lo can exceed int64 when the key is a
+    # full-range hash); pid = key div span -- trunc division is
+    # monotone for a positive divisor, which is all the prefix logic
+    # needs (pids need not start at 0), and it stays integer-exact
+    # where a double floor() would lose precision above 2^53
     span = max((int(hi) - int(lo)) // n_parts + 1, 1)
-    parted = docs.withColumn(
-        "pid", ((F.col("doc_id") - F.lit(int(lo))) / F.lit(span)).cast("int")
+    parted = sized.withColumn(
+        "pid", F.expr(f"CAST(({key_col} div {span}) AS INT)")
     )
     # phase 1: O(partitions) totals -> prefix offsets, broadcast back
     totals = sorted(
@@ -859,36 +885,82 @@ def pack_concat_split(spark, sf_dir, window: int = None):
     for pid, t in totals:
         prefix.append((pid, acc))
         acc += int(t)
-    offsets = spark.createDataFrame(prefix, "pid int, part_off bigint")
-    # phase 2: in-partition cumsum + broadcast prefix = global offset
+    offsets = spark.createDataFrame(prefix or [(0, 0)], "pid int, part_off bigint")
+    # phase 2: in-partition cumsum + broadcast prefix = global offset;
+    # doc_id breaks key collisions (colliding keys share a pid, so the
+    # tie-break is consistent with the global (key, doc_id) order)
     w = (
         Window.partitionBy("pid")
-        .orderBy("doc_id")
+        .orderBy(key_col, "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     s = F.coalesce(F.sum("n_toks").over(w), F.lit(0)) + F.col("part_off")
-    sized = parted.join(F.broadcast(offsets), "pid").withColumn("s", s)
+    sized2 = parted.join(F.broadcast(offsets), "pid").withColumn("s", s)
     win = F.lit(window).cast("bigint")
-    bins = sized.select(
-        "doc_id",
-        "n_toks",
-        "s",
+    bins = sized2.withColumn(
+        "bin_id",
         F.explode(
             F.sequence(
                 F.floor(F.col("s") / win),
                 F.floor((F.col("s") + F.col("n_toks") - 1) / win),
             )
-        ).alias("bin_id"),
-    )
+        ),
+    ).withColumn("bin_id", F.col("bin_id").cast("bigint"))
     bin_lo = F.col("bin_id") * win
     tok_start = F.greatest(F.col("s"), bin_lo) - F.col("s")
     tok_end = F.least(F.col("s") + F.col("n_toks"), bin_lo + win) - F.col("s")
-    return bins.select(
+    return (
+        bins.withColumn("tok_start", tok_start.cast("bigint"))
+        .withColumn("tok_end", tok_end.cast("bigint"))
+        .drop("pid", "part_off", "n_toks", "s")
+    )
+
+
+def packed_sequences(
+    docs: DataFrame, window: int = None, shuffle_order: bool = True
+) -> DataFrame:
+    """Materialized packed training sequences from (doc_id, text)
+    rows: one row per bin with the assembled ``seq_text``, its token
+    count, and slice provenance counts.  ``shuffle_order=True`` packs
+    in xxhash64(doc_id) order (deterministic pseudorandom -- the
+    shuffled-corpus order pretraining wants, and the only option for
+    non-integer doc ids); False requires an integer doc_id and packs
+    in id order.  Bin assembly is a bin_id groupBy whose per-group
+    state is one window of tokens (~CONTEXT_LEN), so the collect_list
+    is bounded by construction."""
+    window = window or CONTEXT_LEN
+    key = (
+        F.xxhash64("doc_id") if shuffle_order else F.col("doc_id")
+    ).alias("pack_key")
+    toks = docs.select(
+        "doc_id", key, F.expr(_TOKENS).alias("toks")
+    )
+    sl = pack_slices_df(toks, window, key_col="pack_key")
+    piece = F.concat_ws(
+        " ",
+        F.slice(
+            "toks",
+            (F.col("tok_start") + 1).cast("int"),
+            (F.col("tok_end") - F.col("tok_start")).cast("int"),
+        ),
+    )
+    slices = sl.select(
+        "bin_id",
+        "pack_key",
         "doc_id",
-        F.col("bin_id").cast("bigint").alias("bin_id"),
-        tok_start.cast("bigint").alias("tok_start"),
-        tok_end.cast("bigint").alias("tok_end"),
-    ).orderBy("doc_id", "bin_id")
+        piece.alias("piece"),
+        (F.col("tok_end") - F.col("tok_start")).alias("n_toks"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pack_key", "doc_id", "piece"))
+    )
+    return slices.groupBy("bin_id").agg(
+        F.concat_ws(
+            " ", F.transform(ordered, lambda st: st.piece)
+        ).alias("seq_text"),
+        F.sum("n_toks").alias("n_toks"),
+        F.count("*").alias("n_slices"),
+    )
 
 
 PACK_CONCAT_SPLIT_SQL = f"""

@@ -76,6 +76,12 @@ def main() -> None:
     ap.add_argument("--emit-chunks", action="store_true",
                     help="stage 5: materialize context-window training "
                     "chunks from the kept docs -> <out>/chunks/")
+    ap.add_argument("--pack-sequences", action="store_true",
+                    help="stage 5b: concat-and-split pack the kept "
+                    "docs into CONTEXT_LEN-token training sequences "
+                    "(deterministic shuffled order, zero padding "
+                    "except the final bin) -> <out>/packed/ bucketed "
+                    "on bin_id")
     ap.add_argument("--with-media", action="store_true",
                     help="decode media payloads from the extracted "
                     "corpus (PNG/WAV/GIF features) -> <out>/media/")
@@ -182,6 +188,21 @@ def main() -> None:
             chunks_table, chunks_dir, "doc_id", n_buckets=N_OUT_BUCKETS,
         )
         n_chunks = spark.read.parquet(chunks_dir).count()
+    packed_bins = None
+    if args.pack_sequences:
+        from boilerpipe_coffee_spark.operators.textstats import (
+            packed_sequences,
+        )
+
+        packed_dir = os.path.join(args.output, "packed")
+        packed_table = f"bpc_packed_{tbl_tag}"
+        write_bucketed(
+            packed_sequences(
+                spark.read.parquet(training_dir).select("doc_id", "text")
+            ),
+            packed_table, packed_dir, "bin_id", n_buckets=N_OUT_BUCKETS,
+        )
+        packed_bins = spark.read.parquet(packed_dir).count()
     if args.with_media:
         from boilerpipe_coffee_spark.operators.multimodal import (
             decode_features,
@@ -216,6 +237,9 @@ def main() -> None:
         summary["quality_threshold"] = quality_threshold
     if n_chunks is not None:
         summary["chunks"] = n_chunks
+    if packed_bins is not None:
+        summary["packed_bins"] = packed_bins
+        summary["packed_table"] = packed_table
     if n_media is not None:
         summary["media_rows"] = n_media
         summary["media_quarantined"] = media_quarantined

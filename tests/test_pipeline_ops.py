@@ -644,3 +644,56 @@ def test_pack_concat_split_semantics(spark):
     # partition-count invariance of the distributed prefix sum
     rows4 = pack_concat_split(spark, sf).collect()  # same session
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows4))
+
+
+def test_packed_sequences_round_trip(spark):
+    """Materialized packed bins: token totals conserved, every bin
+    exactly CONTEXT_LEN tokens except the highest bin, and the
+    concatenation of bins in bin order reproduces the concatenation of
+    docs in pack order -- the training corpus survives packing
+    byte-for-token."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        CONTEXT_LEN,
+        packed_sequences,
+    )
+    from pyspark.sql import functions as F
+    from boilerpipe_coffee_spark.functions import TOKENS
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"),
+                "text")  # force the string-id (hash-ordered) path
+    )
+    bins = packed_sequences(docs).collect()
+    tokens_by_doc = {
+        r.doc_id: r.toks
+        for r in docs.select(
+            "doc_id", F.expr(TOKENS).alias("toks")
+        ).collect()
+        if len(r.toks) > 0
+    }
+    total = sum(len(t) for t in tokens_by_doc.values())
+    assert sum(r.n_toks for r in bins) == total
+    last = max(r.bin_id for r in bins)
+    for r in bins:
+        assert r.n_toks == CONTEXT_LEN or (
+            r.bin_id == last and r.n_toks <= CONTEXT_LEN
+        )
+        assert len(r.seq_text.split(" ")) == r.n_toks
+    # global round trip in pack (xxhash) order
+    import pyspark.sql.functions as F2
+
+    order = [
+        r.doc_id
+        for r in docs.filter(F2.size(F2.expr(TOKENS)) > 0)
+        .select("doc_id", F2.xxhash64("doc_id").alias("k"))
+        .orderBy("k", "doc_id")
+        .collect()
+    ]
+    want = [t for d in order for t in tokens_by_doc[d]]
+    got = [
+        t
+        for r in sorted(bins, key=lambda r: r.bin_id)
+        for t in r.seq_text.split(" ")
+    ]
+    assert got == want
