@@ -532,7 +532,9 @@ def dedup_simhash_pairs(
     guard adds no extra exchange."""
     from pyspark.sql import Window
 
-    sig = dedup_simhash(spark, sf_dir)
+    # unsorted signatures: dedup_simhash's presentation orderBy would
+    # inject a global range exchange per join side for nothing
+    sig = simhash_sigs_df(_t(spark, sf_dir, "documents"))
     # single join key = chunk_idx * 2^16 + chunk_val: one column to
     # window over AND to join on (shuffle partitioning reused)
     chunks = sig.select(

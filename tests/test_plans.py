@@ -213,3 +213,21 @@ def test_pipeline_output_tables_join_without_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS ppl_training_t")
         spark.sql("DROP TABLE IF EXISTS ppl_chunks_t")
+
+
+def test_simhash_pairs_plan_has_no_presentation_sort_inside(spark):
+    """The chunk-bucket pairing must build on UNSORTED signatures:
+    r5 regression guard against re-introducing dedup_simhash's
+    presentation orderBy inside the join sides (a global range
+    exchange per side for nothing).  The only rangepartitioning
+    allowed is the final result orderBy."""
+    from boilerpipe_coffee_spark.operators.dedup import dedup_simhash_pairs
+
+    df = dedup_simhash_pairs(spark, SF)
+    plan = _plan(df)
+    import re
+
+    range_parts = re.findall(r"rangepartitioning\(([^)]*)\)", plan)
+    assert len(range_parts) == 1, range_parts  # the final orderBy only
+    assert "doc_a" in range_parts[0]
+    assert "chunk_key" in plan  # join keyed on the combined chunk key
