@@ -258,6 +258,7 @@ EXTRA = [
     "stratified_sample",
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
     "pack_concat_split",  # r5 two-phase-prefix-sum sequence packing
+    "pii_scrub",  # r5 URL/email redaction counts + scrubbed-text hash
 ]
 
 

@@ -989,8 +989,52 @@ FROM bins ORDER BY doc_id, bin_id
 """
 
 
+# PII scrubbing patterns: conservative character-class regexes with
+# IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB) -- no
+# lookaround, no backrefs, no engine-specific classes.  Replacement
+# order is fixed (URLs first -- emails can appear inside URLs) and
+# mirrored in the oracle.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+
+
+def pii_scrub(spark, sf_dir):
+    """PII/link scrubbing -- the redaction stage of a pretraining
+    pipeline: per-doc URL and email counts plus the md5 of the text
+    with both replaced by placeholder tokens (<URL>, <EMAIL>).  The
+    hash (not the scrubbed text) keeps the driver row small while
+    still pinning the exact replacement semantics; pure columnar
+    regexp ops, JVM-side, zero shuffle before the presentation sort.
+    The committed corpus contains no PII (counts verify as zeros);
+    the planted-corpus test in test_pipeline_ops carries the positive
+    evidence with the oracle re-run on that corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(URL_RE)).cast("bigint").alias("n_urls"),
+        F.regexp_count("text", F.lit(EMAIL_RE))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{URL_RE}'))::BIGINT AS n_urls,
+       len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
+       md5(regexp_replace(regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
+                          '{EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_hash
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pack_concat_split": pack_concat_split,
+    "pii_scrub": pii_scrub,
     "quality_histogram_quantiles": quality_histogram_quantiles,
     "contamination_check": contamination_check,
     "packing_stats": packing_stats,
@@ -1008,6 +1052,7 @@ QUERIES = {
 
 ORACLES = {
     "pack_concat_split": PACK_CONCAT_SPLIT_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
     "quality_histogram_quantiles": QUALITY_QUANTILES_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "packing_stats": PACKING_SQL,

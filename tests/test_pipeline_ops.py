@@ -697,3 +697,53 @@ def test_packed_sequences_round_trip(spark):
         for t in r.seq_text.split(" ")
     ]
     assert got == want
+
+
+def test_pii_scrub_planted_corpus(spark, tmp_path):
+    """The committed corpora contain no PII, so the driver row only
+    proves the zero case; this planted corpus carries the positive
+    evidence -- counts, placeholder replacement, and oracle parity on
+    the same files."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from boilerpipe_coffee_spark.operators.textstats import (
+        PII_SCRUB_SQL,
+        pii_scrub,
+    )
+
+    rows = [
+        (1, "visit https://example.com/a?b=c and http://foo.org now"),
+        (2, "mail me at alice.smith+spam@example.co.uk please"),
+        (3, "mixed https://x.io/p bob@y.org trailing"),
+        (4, "no pii here at all"),
+        (5, "edge: parens (https://z.dev/q) and dots a.b@c.de."),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["pii"] * len(rows)),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+
+    got = [tuple(r) for r in pii_scrub(spark, str(tmp_path)).collect()]
+    assert [(r[0], r[1], r[2]) for r in got] == [
+        (1, 2, 0),
+        (2, 0, 1),
+        (3, 1, 1),
+        (4, 0, 0),
+        (5, 1, 1),
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = [tuple(r) for r in con.sql(PII_SCRUB_SQL).fetchall()]
+    con.close()
+    assert got == want
