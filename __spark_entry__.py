@@ -259,6 +259,7 @@ EXTRA = [
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
     "pack_concat_split",  # r5 two-phase-prefix-sum sequence packing
     "pii_scrub",  # r5 URL/email redaction counts + scrubbed-text hash
+    "dedup_minhash_verified",  # r5 LSH candidates -> exact Jaccard verify
 ]
 
 

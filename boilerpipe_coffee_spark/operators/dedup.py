@@ -678,6 +678,75 @@ FROM bc
 """
 
 
+def dedup_minhash_verified(
+    spark, sf_dir, threshold: float = 0.5, bucket_cap: int = BUCKET_CAP
+):
+    """The complete text near-dup hierarchy in one operator: MinHash-
+    LSH candidate pairs (banded, bucket-capped, linear) -> EXACT
+    n-gram Jaccard verification on candidates only -- the production
+    twin of :func:`dedup_ngram_jaccard`, whose all-pairs shingle
+    self-join is the fenced correctness baseline.  The verify join is
+    candidate-pair-sized (bounded by the bucket cap), with each side's
+    distinct shingle set riding along once; the intersection is a
+    columnar array_intersect, no shingle explosion."""
+    pairs = _minhash_pairs(spark, sf_dir, bucket_cap)
+    sets = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_SHINGLES).alias("sh"))
+        .select(
+            "doc_id",
+            F.array_distinct("sh").alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = F.round(
+        inter / (F.col("n_a") + F.col("n_b") - inter), 4
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_verified_sql(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}, sets AS (
+  SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
+  FROM documents WHERE len({_TOKENS_DUCK}) >= 3
+), sized AS (
+  SELECT doc_id, sh, len(sh) AS n_sh FROM sets WHERE len(sh) > 0
+), verified AS (
+  SELECT p.doc_a, p.doc_b,
+         round(len(list_intersect(a.sh, b.sh))
+               / (a.n_sh + b.n_sh - len(list_intersect(a.sh, b.sh))), 4)
+           AS jaccard
+  FROM lsh_pairs p
+  JOIN sized a ON a.doc_id = p.doc_a
+  JOIN sized b ON b.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified
+WHERE jaccard >= {threshold} ORDER BY doc_a, doc_b
+"""
+
+
+DEDUP_MINHASH_VERIFIED_SQL = _minhash_verified_sql()
+
+
 # ------------------------------------------------------------------ #
 # duplicate-cluster resolution: candidate pairs -> connected           #
 # components -> canonical keep-set                                     #
@@ -914,6 +983,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "minhash_band_stats": minhash_band_stats,
     "simhash_chunk_stats": simhash_chunk_stats,
+    "dedup_minhash_verified": dedup_minhash_verified,
 }
 
 ORACLES = {
@@ -925,4 +995,5 @@ ORACLES = {
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "simhash_chunk_stats": SIMHASH_CHUNK_STATS_SQL,
+    "dedup_minhash_verified": DEDUP_MINHASH_VERIFIED_SQL,
 }

@@ -165,3 +165,31 @@ def test_simhash_cap_parity_with_oracle_on_flood(spark, simhash_flood_dir):
     want = sorted(tuple(r) for r in con.sql(DEDUP_SIMHASH_PAIRS_SQL).fetchall())
     con.close()
     assert got == want
+
+
+def test_minhash_verified_subset_of_brute_force(spark):
+    """LSH-candidates -> exact-Jaccard verify must be a SUBSET of the
+    all-pairs baseline at the same threshold (identical jaccard values
+    on shared pairs), with deterministic recall on the fixed corpus."""
+    from boilerpipe_coffee_spark.operators.dedup import (
+        dedup_minhash_verified,
+        dedup_ngram_jaccard,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf).collect()
+    }
+    verified = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_verified(spark, sf).collect()
+    }
+    assert set(verified) <= set(brute)
+    for pair, j in verified.items():
+        assert j == brute[pair]
+    # deterministic recall on the committed corpus (md5 minhash
+    # coefficients are fixed): assert the measured value so silent
+    # recall regressions fail loudly
+    assert len(brute) > 0
+    assert len(verified) / len(brute) >= 0.9, (len(verified), len(brute))
