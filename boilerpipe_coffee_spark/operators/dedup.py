@@ -895,6 +895,19 @@ def resolve_components(
         .withColumn("cluster_id", F.col("doc_id")),
         checkpoint_dir,
     )
+    # convergence via the MONOTONE label-sum invariant: min-label
+    # propagation only ever DECREASES labels, so sum(cluster_id) is
+    # strictly decreasing until the fixed point and "sum unchanged"
+    # is EXACTLY "no label changed" -- one cheap decimal-exact scan of
+    # the just-checkpointed labels per round instead of an edge-sized
+    # new-vs-old join (r5; decimal(38,0) so a 10^12-node sum cannot
+    # overflow or silently wrap)
+    def label_sum(lbl):
+        return lbl.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = label_sum(labels)
     changed = -1  # set each round; -1 only if max_iters < 1
     for _ in range(max_iters):
         nbr = (
@@ -913,12 +926,9 @@ def resolve_components(
             )
         )
         new_labels = _ckpt(new_labels, checkpoint_dir)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = label_sum(new_labels)
+        changed = 0 if new_sum == prev_sum else 1
+        prev_sum = new_sum
         labels = new_labels
         if changed == 0:
             break

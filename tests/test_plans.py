@@ -231,3 +231,18 @@ def test_simhash_pairs_plan_has_no_presentation_sort_inside(spark):
     assert len(range_parts) == 1, range_parts  # the final orderBy only
     assert "doc_a" in range_parts[0]
     assert "chunk_key" in plan  # join keyed on the combined chunk key
+
+
+def test_pack_concat_split_has_no_single_reducer(spark):
+    """The packing prefix sum must be the two-phase distributed form:
+    no Exchange SinglePartition anywhere (a naive global orderBy
+    window would plan one), cumsum windowed on the pid hash
+    partitioning, prefix offsets broadcast."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        pack_concat_split,
+    )
+
+    plan = _plan(pack_concat_split(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(pid" in plan
+    assert "BroadcastExchange" in plan  # the O(partitions) offsets
