@@ -261,3 +261,59 @@ def test_stream_stream_join_survives_restart(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_extraction_survives_restart(spark, tmp_path):
+    """The PRODUCTION extraction operator on a file stream (stateless
+    mapInArrow): kill-and-resume must be exactly-once purely via the
+    file-source offsets -- no doc extracted twice, none lost, spans
+    equal the batch extraction."""
+    from boilerpipe_coffee_spark.operators.arrow_extract import (
+        extract_arrow,
+    )
+    from boilerpipe_coffee_spark.sources import synth_interleaved
+    from boilerpipe_coffee_spark.streaming import read_interleaved_stream
+
+    docs = synth_interleaved(spark, 80, seed=42)
+    drops = str(tmp_path / "drops")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def transform(stream):
+        return extract_arrow(stream, "ArticleExtractor")
+
+    def phase(schema):
+        return _run_phase(
+            spark, schema, drops, out, ckpt,
+            lambda s: transform(s),
+        )
+
+    with _scoped_conf(spark, _STREAM_CONFS):
+        docs.filter(F.crc32(F.col("doc_id")) % 2 == 0).repartition(
+            3
+        ).write.parquet(drops)
+        c1 = phase(docs.schema)
+        assert c1 > 0
+        docs.filter(F.crc32(F.col("doc_id")) % 2 == 1).repartition(
+            3
+        ).write.mode("append").parquet(drops)
+        c2 = phase(docs.schema)
+        assert c2 > c1
+
+    def flat(df):
+        return sorted(
+            (
+                r.doc_id, r.title, r.error, r.pos,
+                # quarantined docs explode to a null span struct
+                *( (r.s.kind, r.s.text, r.s.media_ref, r.s.order)
+                   if r.s is not None else (None,) * 4 ),
+            )
+            for r in df.select(
+                "doc_id", "title", "error",
+                F.posexplode_outer("spans").alias("pos", "s"),
+            ).collect()
+        )
+    got = flat(spark.read.parquet(out))
+    want = flat(extract_arrow(docs, "ArticleExtractor"))
+    assert len(got) == len(set(got)), "duplicated spans after restart"
+    assert got == want
