@@ -895,19 +895,34 @@ def resolve_components(
         .withColumn("cluster_id", F.col("doc_id")),
         checkpoint_dir,
     )
-    # convergence via the MONOTONE label-sum invariant: min-label
-    # propagation only ever DECREASES labels, so sum(cluster_id) is
-    # strictly decreasing until the fixed point and "sum unchanged"
-    # is EXACTLY "no label changed" -- one cheap decimal-exact scan of
-    # the just-checkpointed labels per round instead of an edge-sized
-    # new-vs-old join (r5; decimal(38,0) so a 10^12-node sum cannot
-    # overflow or silently wrap)
+    # convergence via the MONOTONE label-sum invariant when labels are
+    # NUMERIC: min-label propagation only ever DECREASES labels, so
+    # sum(cluster_id) is strictly decreasing until the fixed point and
+    # "sum unchanged" is EXACTLY "no label changed" -- one cheap
+    # decimal-exact scan of the just-checkpointed labels per round
+    # instead of an edge-sized new-vs-old join (r5; decimal(38,0) so a
+    # 10^12-node sum cannot overflow or silently wrap).  STRING labels
+    # (the pipeline's doc-XXXX ids) are also monotone (lexicographic
+    # min) but have no summable surrogate, so they keep the exact
+    # join-based changed count.
+    numeric_labels = dict(labels.dtypes)["cluster_id"] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+
     def label_sum(lbl):
         return lbl.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = label_sum(labels)
+    def join_changed(new, old):
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+
+    prev_sum = label_sum(labels) if numeric_labels else None
     changed = -1  # set each round; -1 only if max_iters < 1
     for _ in range(max_iters):
         nbr = (
@@ -926,9 +941,12 @@ def resolve_components(
             )
         )
         new_labels = _ckpt(new_labels, checkpoint_dir)
-        new_sum = label_sum(new_labels)
-        changed = 0 if new_sum == prev_sum else 1
-        prev_sum = new_sum
+        if numeric_labels:
+            new_sum = label_sum(new_labels)
+            changed = 0 if new_sum == prev_sum else 1
+            prev_sum = new_sum
+        else:
+            changed = join_changed(new_labels, labels)
         labels = new_labels
         if changed == 0:
             break
