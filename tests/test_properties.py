@@ -103,3 +103,113 @@ def test_extract_spans_total_deterministic_ordered(spans, extractor):
         assert [s["media_ref"] for s in out1 if s["kind"] != "text"] == by_off
     else:
         assert err1 == "reference_throw" and out1 == [] and title1 == ""
+
+
+# ------------------------------------------------------------------ #
+# round-5 pure-function properties (no Spark session needed)          #
+# ------------------------------------------------------------------ #
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789 .,!\n",
+            min_size=0, max_size=400,
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_pdf_round_trips_any_page_content(pages, compress, object_streams):
+    """write_pdf -> read_pdf is identity for arbitrary printable page
+    text across ALL THREE layouts (classic compressed, classic raw,
+    PDF 1.5 object-stream)."""
+    from boilerpipe_coffee_spark.operators import media_codecs as mc
+
+    buf = mc.write_pdf(pages, compress=compress, object_streams=object_streams)
+    assert mc.read_pdf(buf)["pages"] == pages
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=300), st.integers(0, 10**6))
+def test_pdf_reader_never_leaks_low_level_errors(junk, seed):
+    """Arbitrary bytes (raw, or spliced into a valid PDF at a
+    seed-chosen offset) must produce either a parse or a ValueError --
+    never struct.error/IndexError/etc (the quarantine contract)."""
+    from boilerpipe_coffee_spark.operators import media_codecs as mc
+
+    good = mc.write_pdf(["seed page"], object_streams=seed % 2 == 0)
+    pos = seed % (len(good) + 1)
+    for buf in (junk, good[:pos] + junk + good[pos:]):
+        try:
+            mc.read_pdf(buf)
+        except ValueError:
+            pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    st.integers(2, 64),
+)
+def test_pack_arithmetic_matches_reference(sizes, window):
+    """The bin-slice arithmetic (the per-row math pack_slices_df
+    evaluates in Spark) against a direct python packer: same slices,
+    full coverage, exact fill."""
+    s = 0
+    got = []
+    for doc, n in enumerate(sizes):
+        lo_bin, hi_bin = s // window, (s + n - 1) // window
+        for b in range(lo_bin, hi_bin + 1):
+            tok_start = max(s, b * window) - s
+            tok_end = min(s + n, (b + 1) * window) - s
+            got.append((doc, b, tok_start, tok_end))
+        s += n
+    # reference: walk tokens one by one
+    want = []
+    pos = 0
+    for doc, n in enumerate(sizes):
+        start_tok = 0
+        while start_tok < n:
+            b = pos // window
+            take = min(n - start_tok, (b + 1) * window - pos)
+            want.append((doc, b, start_tok, start_tok + take))
+            pos += take
+            start_tok += take
+    assert got == want
+    total = sum(sizes)
+    assert sum(e - st_ for _, _, st_, e in got) == total
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.sets(st.text(alphabet="abcdefghij0123", min_size=1, max_size=8),
+               min_size=1, max_size=60))
+def test_simhash64_reference_properties(toks):
+    """The 64-bit signature math (mirrors simhash_sigs_df's numpy
+    path in pure python): value fits signed int64, is permutation-
+    invariant (set semantics), and every bit is the sign of the vote
+    sum of the corresponding md5-window bit."""
+    import hashlib
+
+    def sig(tokset):
+        votes = [0] * 64
+        for t in tokset:
+            h = hashlib.md5(t.encode()).hexdigest()
+            lo, hi = int(h[:8], 16), int(h[8:16], 16)
+            for b in range(32):
+                votes[b] += 1 if (lo >> b) & 1 else -1
+                votes[32 + b] += 1 if (hi >> b) & 1 else -1
+        v = sum(1 << b for b in range(63) if votes[b] > 0)
+        if votes[63] > 0:
+            v -= 1 << 63
+        return v, votes
+
+    v, votes = sig(toks)
+    assert -(2**63) <= v < 2**63
+    v2, _ = sig(set(reversed(sorted(toks))))
+    assert v2 == v
+    for b in range(64):
+        bit = (v >> b) & 1 if b < 63 else (1 if v < 0 else 0)
+        assert bit == (1 if votes[b] > 0 else 0)
