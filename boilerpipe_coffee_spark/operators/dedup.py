@@ -767,8 +767,13 @@ def _ckpt(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != checkpoint_dir:
+    # setCheckpointDir appends a random UUID subdirectory, so comparing
+    # getCheckpointDir() to the raw dir never matches -- memoize the
+    # last dir we passed instead, or every _ckpt call would mint a
+    # fresh UUID dir and checkpoint files would pile up per iteration
+    if getattr(sc, "_bps_ckpt_dir", None) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        sc._bps_ckpt_dir = checkpoint_dir
     return df.checkpoint(eager=True)
 
 

@@ -873,8 +873,11 @@ def pack_slices_df(
     # needs (pids need not start at 0), and it stays integer-exact
     # where a double floor() would lose precision above 2^53
     span = max((int(hi) - int(lo)) // n_parts + 1, 1)
+    # pid stays BIGINT: key div span can exceed 2^31 for large
+    # clustered integer ids (e.g. timestamp-like), where an INT cast
+    # would overflow (ANSI crash / silent wrap breaking monotonicity)
     parted = sized.withColumn(
-        "pid", F.expr(f"CAST(({key_col} div {span}) AS INT)")
+        "pid", F.expr(f"CAST(({key_col} div {span}) AS BIGINT)")
     )
     # phase 1: O(partitions) totals -> prefix offsets, broadcast back
     totals = sorted(
@@ -885,7 +888,9 @@ def pack_slices_df(
     for pid, t in totals:
         prefix.append((pid, acc))
         acc += int(t)
-    offsets = spark.createDataFrame(prefix or [(0, 0)], "pid int, part_off bigint")
+    offsets = spark.createDataFrame(
+        prefix or [(0, 0)], "pid bigint, part_off bigint"
+    )
     # phase 2: in-partition cumsum + broadcast prefix = global offset;
     # doc_id breaks key collisions (colliding keys share a pid, so the
     # tie-break is consistent with the global (key, doc_id) order)
@@ -991,45 +996,79 @@ FROM bins ORDER BY doc_id, bin_id
 
 # PII scrubbing patterns: conservative character-class regexes with
 # IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB) -- no
-# lookaround, no backrefs, no engine-specific classes.  Replacement
-# order is fixed (URLs first -- emails can appear inside URLs) and
-# mirrored in the oracle.
-URL_RE = r"https?://[^\s]+"
+# lookaround, no backrefs, no engine-specific classes.  The URL
+# terminator is an EXPLICIT whitespace class, not [^\s]: Java's ASCII
+# \s includes vertical tab \x0b while RE2's does not, so \s-based
+# boundaries diverge on a URL adjacent to a VT.  Replacement order is
+# fixed (URLs first -- emails can appear inside URLs; IPs before
+# phones so a dotted quad is never half-eaten by the phone pattern;
+# SSN before the long-digit-run id class) and mirrored in the oracle.
+URL_RE = r"https?://[^ \t\n\x0b\f\r]+"
 EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+PHONE_RE = r"(\+?[0-9]{1,2}[- ]?)?\(?[0-9]{3}\)?[- ]?[0-9]{3}[- ]?[0-9]{4}"
+IDNUM_RE = r"\b[0-9]{9,}\b"
+
+# (name, pattern, placeholder) in the fixed replacement order; the
+# Spark op and the DuckDB oracle are both generated from this table so
+# the two sides cannot drift.
+PII_CLASSES = (
+    ("urls", URL_RE, "<URL>"),
+    ("emails", EMAIL_RE, "<EMAIL>"),
+    ("ips", IP_RE, "<IP>"),
+    ("ssns", SSN_RE, "<SSN>"),
+    ("phones", PHONE_RE, "<PHONE>"),
+    ("ids", IDNUM_RE, "<ID>"),
+)
 
 
 def pii_scrub(spark, sf_dir):
     """PII/link scrubbing -- the redaction stage of a pretraining
-    pipeline: per-doc URL and email counts plus the md5 of the text
-    with both replaced by placeholder tokens (<URL>, <EMAIL>).  The
-    hash (not the scrubbed text) keeps the driver row small while
-    still pinning the exact replacement semantics; pure columnar
-    regexp ops, JVM-side, zero shuffle before the presentation sort.
-    The committed corpus contains no PII (counts verify as zeros);
-    the planted-corpus test in test_pipeline_ops carries the positive
-    evidence with the oracle re-run on that corpus."""
+    pipeline: per-doc counts for each PII class (URL, email, IPv4,
+    SSN-shaped, phone-shaped, long-digit-run id) plus the md5 of the
+    text with all classes replaced by placeholder tokens, applied in
+    the fixed ``PII_CLASSES`` order.  The hash (not the scrubbed
+    text) keeps the driver row small while still pinning the exact
+    replacement semantics; pure columnar regexp ops, JVM-side, zero
+    shuffle before the presentation sort.  The committed corpus
+    contains no PII (counts verify as zeros); the planted-corpus test
+    in test_pipeline_ops carries the positive evidence -- one planted
+    doc per class -- with the oracle re-run on that corpus.
+
+    Counts are measured on the ORIGINAL text per class, not on the
+    partially-scrubbed chain input: counting on the original keeps
+    each count a pure function of (text, one regex), identical in
+    both engines regardless of what earlier classes replaced."""
     docs = _t(spark, sf_dir, "documents")
-    scrubbed = F.regexp_replace(
-        F.regexp_replace("text", URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    scrubbed = F.col("text")
+    cols = [F.col("doc_id")]
+    for name, pat, token in PII_CLASSES:
+        cols.append(
+            F.regexp_count("text", F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    cols.append(F.md5(scrubbed).alias("scrubbed_hash"))
+    return docs.select(*cols).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_CLASSES
     )
-    return docs.select(
-        "doc_id",
-        F.regexp_count("text", F.lit(URL_RE)).cast("bigint").alias("n_urls"),
-        F.regexp_count("text", F.lit(EMAIL_RE))
-        .cast("bigint")
-        .alias("n_emails"),
-        F.md5(scrubbed).alias("scrubbed_hash"),
-    ).orderBy("doc_id")
-
-
-PII_SCRUB_SQL = f"""
+    scrub = "text"
+    for _, pat, token in PII_CLASSES:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
 SELECT doc_id,
-       len(regexp_extract_all(text, '{URL_RE}'))::BIGINT AS n_urls,
-       len(regexp_extract_all(text, '{EMAIL_RE}'))::BIGINT AS n_emails,
-       md5(regexp_replace(regexp_replace(text, '{URL_RE}', '<URL>', 'g'),
-                          '{EMAIL_RE}', '<EMAIL>', 'g')) AS scrubbed_hash
+       {counts},
+       md5({scrub}) AS scrubbed_hash
 FROM documents ORDER BY doc_id
 """
+
+
+PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 QUERIES = {

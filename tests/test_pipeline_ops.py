@@ -719,6 +719,11 @@ def test_pii_scrub_planted_corpus(spark, tmp_path):
         (3, "mixed https://x.io/p bob@y.org trailing"),
         (4, "no pii here at all"),
         (5, "edge: parens (https://z.dev/q) and dots a.b@c.de."),
+        (6, "server at 10.0.255.7 and gateway 192.168.1.1 up"),
+        (7, "ssn 123-45-6789 on file"),
+        (8, "call (555) 123-4567 or +1 555 987 6543 today"),
+        (9, "account 12345678901 and card 4111111111111111"),
+        (10, "url with vt https://v.example/x\x0btail and 303-30-3030"),
     ]
     table = pa.table(
         {
@@ -732,12 +737,22 @@ def test_pii_scrub_planted_corpus(spark, tmp_path):
     pq.write_table(table, str(tmp_path / "documents.parquet"))
 
     got = [tuple(r) for r in pii_scrub(spark, str(tmp_path)).collect()]
-    assert [(r[0], r[1], r[2]) for r in got] == [
-        (1, 2, 0),
-        (2, 0, 1),
-        (3, 1, 1),
-        (4, 0, 0),
-        (5, 1, 1),
+    # (doc_id, n_urls, n_emails, n_ips, n_ssns, n_phones, n_ids):
+    # every class has at least one positive row; row 9's digit runs
+    # deliberately count as BOTH phone-shaped and id-shaped (counts
+    # are per-class on the original text); row 10 pins the explicit
+    # whitespace class (URL stops at \x0b in BOTH engines).
+    assert [r[:-1] for r in got] == [
+        (1, 2, 0, 0, 0, 0, 0),
+        (2, 0, 1, 0, 0, 0, 0),
+        (3, 1, 1, 0, 0, 0, 0),
+        (4, 0, 0, 0, 0, 0, 0),
+        (5, 1, 1, 0, 0, 0, 0),
+        (6, 0, 0, 2, 0, 0, 0),
+        (7, 0, 0, 0, 1, 0, 0),
+        (8, 0, 0, 0, 0, 2, 0),
+        (9, 0, 0, 0, 0, 2, 2),
+        (10, 1, 0, 0, 1, 0, 0),
     ]
     con = duckdb.connect()
     con.execute(
