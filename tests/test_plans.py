@@ -246,3 +246,38 @@ def test_pack_concat_split_has_no_single_reducer(spark):
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(pid" in plan
     assert "BroadcastExchange" in plan  # the O(partitions) offsets
+
+
+def test_ivf_assign_is_partial_agg_argmax_not_window(spark):
+    """The nearest-centroid assignment must be the map-side
+    partial-agg argmax (groupBy + max_by): a Window.partitionBy
+    (vec_id) + row_number shape would exchange all k*N scored rows,
+    each carrying the full embedding -- shuffle traffic growing with
+    the centroid count (r5 verdict finding).  The partial aggregate
+    collapses to one row per vec_id before the exchange, so the plan
+    has NO Window and a partial_max_by under HashAggregate."""
+    from boilerpipe_coffee_spark.operators.similarity import (
+        N_IVF_CELLS,
+        _assign,
+    )
+
+    emb = (
+        spark.read.parquet(SF + "/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    cents = emb.filter(F.col("vec_id") < N_IVF_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("v").alias("cv")
+    )
+    plan = _plan(_assign(emb, cents))
+    assert "Window" not in plan, plan
+    assert "max_by" in plan
+    # the scored side reaches the agg through a broadcast, never a
+    # shuffled join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    import re
+
+    # exactly ONE data exchange: the N-row groupBy(vec_id) shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
