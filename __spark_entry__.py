@@ -242,13 +242,27 @@ DEMOTED = [
     "udtf_sentence_explode",
     "q6_forecast_revenue",
     "min_clause_docs",
+    # Round-6 rotation (VERDICT r5 task 3): two more demotions free
+    # window slots for the two most load-bearing r5 EXTRA rows:
+    #   fuse_adjacent_equal      -> the golden-parity extraction family
+    #                               (SimpleBlockFusionProcessor is
+    #                               covered exactly by extract_parity +
+    #                               the golden Default suite)
+    #   sessionize_native_window -> sessionize_events (same oracle;
+    #                               keep exactly one sessionize twin
+    #                               in-window -- the gap-based form is
+    #                               the BlockProximityFusion evidence)
+    "fuse_adjacent_equal",
+    "sessionize_native_window",
 ]
-# Promoted into the window in round 5 (they replace the two new
-# demotions above, keeping the window at exactly 50): skew-handling
-# and chunk-materialization evidence belongs in the driver rows.
+# Promoted into the window (r5: skew handling + chunk
+# materialization; r6: the training-sequence packing path and the
+# complete dedup hierarchy's verify stage).
 PROMOTED = [
     "events_salted_agg",
     "doc_chunks",
+    "pack_concat_split",
+    "dedup_minhash_verified",
 ]
 # Oracle-backed queries added AFTER the r4 window was frozen: they sit
 # past the cap (checked by the full test suite, which parametrizes
@@ -257,9 +271,7 @@ EXTRA = [
     "events_json_props",
     "stratified_sample",
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
-    "pack_concat_split",  # r5 two-phase-prefix-sum sequence packing
-    "pii_scrub",  # r5 URL/email redaction counts + scrubbed-text hash
-    "dedup_minhash_verified",  # r5 LSH candidates -> exact Jaccard verify
+    "pii_scrub",  # r5 redaction counts + scrubbed-text hash (6 classes)
 ]
 
 
