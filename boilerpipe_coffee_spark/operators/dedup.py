@@ -8,10 +8,11 @@ compute bit-identical values:
 - n-gram Jaccard: token 3-gram shingles, exact pairwise similarity via
   a shingle-equality self-join (intersection counts) -- the
   correctness baseline the sketch methods approximate.
-- MinHash + LSH: k=8 signatures over shingle hashes, 4 bands of 2;
-  band-equality buckets yield candidate pairs without the N^2 join --
-  the 100 TB-scale path (shuffle keyed on band values, skew-safe since
-  signatures are uniform).
+- MinHash + LSH: b*r signatures over shingle hashes in b bands of r
+  (adaptive via :func:`minhash_banding`; <=1000 docs = the legacy 8
+  signatures, 4 bands of 2); band-equality buckets yield candidate
+  pairs without the N^2 join -- the 100 TB-scale path (shuffle keyed
+  on band values, skew-safe since signatures are uniform).
 - SimHash: 32-bit sign-sketch of the token set; near-dup candidates
   have small Hamming distance.
 
@@ -30,7 +31,10 @@ from pyspark.sql import functions as F
 # md5-hex prefix -> bigint, identical in Spark and DuckDB
 # Spark:  conv(substring(md5(x), 1, 15), 16, 10)::bigint
 # DuckDB: ('0x' || substring(md5(x), 1, 15))::BIGINT
-_P = 2147483647  # 2^31-1, keeps a*h+b within 63 bits
+_P = 2147483647  # 2^31-1, keeps a*h+b within 63 bits (a < 2^16 -> a*h < 2^47)
+# Affine minhash coefficients.  The FIRST 8 are the legacy family --
+# unchanged bit-for-bit so every committed corpus row stays stable;
+# entries 8..31 extend the family for the adaptive widths below.
 _MINHASH_AB = [
     (387, 10283),
     (1021, 74099),
@@ -40,8 +44,61 @@ _MINHASH_AB = [
     (7919, 20201),
     (9241, 68207),
     (10369, 41911),
+    (11587, 30293),
+    (12721, 83231),
+    (13687, 57529),
+    (14879, 12097),
+    (16063, 77573),
+    (17299, 41039),
+    (18523, 90821),
+    (19709, 25763),
+    (20921, 64601),
+    (22093, 18341),
+    (23279, 87119),
+    (24473, 52561),
+    (25667, 9973),
+    (26861, 73009),
+    (28057, 36493),
+    (29251, 98519),
+    (30449, 21067),
+    (31643, 69427),
+    (32839, 44699),
+    (34031, 15083),
+    (35227, 80329),
+    (36433, 58111),
+    (37633, 27803),
+    (38833, 91457),
 ]
-N_BANDS = 4  # 8 signatures, bands of 2
+N_BANDS = 4  # legacy banding: 8 signatures, 4 bands of 2
+
+# Adaptive MinHash width (round 6, mirroring similarity.emb_banding):
+# as the corpus grows, background pairs start colliding in 2-row
+# bands (per-band collision prob s^r, and candidate volume scales with
+# N * collisions-per-doc), so rows-per-band r gains one row per 10x
+# growth past the legacy floor and bands b = 4 + 2*(r-2) spend part of
+# the precision win on recall.  Every committed corpus (<= 1000 docs)
+# resolves to the legacy (4, 2) = 8 signatures, so driver/suite rows
+# are bit-stable; sf0.1 (5000 docs) resolves to (6, 3) and the sf1
+# rehearsal corpus (50k) to (8, 4).  Oracle CTEs take the same n_rows
+# and derive (b, r) through THIS function, so the two sides cannot
+# drift -- non-legacy corpora must regenerate their SQL via
+# ``_minhash_pairs_ctes(n_rows=...)`` (the exported ORACLES strings
+# are the legacy instance).
+MINHASH_LEGACY_N = 1000
+
+
+def minhash_banding(n_docs: int) -> "tuple[int, int]":
+    """(bands b, rows-per-band r) for a corpus of ``n_docs``:
+    r = min(4, 2 + ceil(log10(N/1000))) past the legacy floor,
+    b = 4 + 2*(r-2); signature width k = b*r (8/18/32)."""
+    import math
+
+    extra = 0
+    if n_docs > MINHASH_LEGACY_N:
+        extra = math.ceil(math.log10(n_docs / MINHASH_LEGACY_N))
+    r = min(4, 2 + extra)
+    b = 4 + 2 * (r - 2)
+    return b, r
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -162,15 +219,28 @@ ORDER BY doc_a, doc_b
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, bucket_cap: int = BUCKET_CAP
+    docs: DataFrame,
+    bucket_cap: int = BUCKET_CAP,
+    banding: "tuple[int, int] | None" = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) candidate pairs over ANY (doc_id,
     text) frame, UNSORTED -- consumers that don't need presentation
     order (cluster resolution, the pipeline job's near-dup stage) use
-    this directly and skip the global sort."""
+    this directly and skip the global sort.
+
+    Banding resolves through :func:`minhash_banding`: pass ``n_docs``
+    when the caller already knows the corpus size (the pipeline job
+    counts survivors for its summary anyway -- no extra pass), else
+    one ``docs.count()`` derives it (a parquet-footer metadata count
+    on plain scans).  An explicit ``banding`` tuple overrides both."""
     from pyspark.sql import Window
 
-    stacked = minhash_bands_df(docs)
+    if banding is None:
+        banding = minhash_banding(
+            n_docs if n_docs is not None else docs.count()
+        )
+    stacked = minhash_bands_df(docs, banding)
     # bucket size via a window on band_key: ONE shuffle, and the
     # resulting hash partitioning is exactly what the band self-join
     # needs, so the join adds no further exchange
@@ -233,9 +303,10 @@ def _doc_id_sql_type(df: DataFrame) -> str:
     )
 
 
-def minhash_sigs_df(docs_in: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, mh0..mh7): the 8 minhash signatures,
-    computed in ONE map-side Arrow pass.
+def minhash_sigs_df(docs_in: DataFrame, n_sig: int = 8) -> DataFrame:
+    """(doc_id, text) -> (doc_id, mh0..mh{n_sig-1}): the minhash
+    signatures (default: the legacy 8), computed in ONE map-side
+    Arrow pass.
 
     Why not the declarative form (tokenize/shingle HOFs + explode +
     8-min groupBy)?  Measured at sf0.1: the Catalyst higher-order
@@ -255,10 +326,15 @@ def minhash_sigs_df(docs_in: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    coeff_a = np.array([a for a, _ in _MINHASH_AB], dtype=np.int64)[:, None]
-    coeff_b = np.array([b for _, b in _MINHASH_AB], dtype=np.int64)[:, None]
+    if n_sig > len(_MINHASH_AB):
+        raise ValueError(
+            f"n_sig={n_sig} exceeds the {len(_MINHASH_AB)}-entry "
+            "coefficient family"
+        )
+    ab = _MINHASH_AB[:n_sig]
+    coeff_a = np.array([a for a, _ in ab], dtype=np.int64)[:, None]
+    coeff_b = np.array([b for _, b in ab], dtype=np.int64)[:, None]
     tok_re = re.compile(r"[^a-z0-9]+")
-    n_sig = len(_MINHASH_AB)
 
     def sig_fn(batches):
         for pdf in batches:
@@ -292,22 +368,30 @@ def minhash_sigs_df(docs_in: DataFrame) -> DataFrame:
     return docs_in.select("doc_id", "text").mapInPandas(sig_fn, schema)
 
 
-def minhash_bands_df(docs_in: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, band_key) rows: 8 minhash signatures
-    in 4 bands of 2."""
-    sig = minhash_sigs_df(docs_in)
+def minhash_bands_df(
+    docs_in: DataFrame, banding: "tuple[int, int]" = (N_BANDS, 2)
+) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band_key) rows: b*r minhash
+    signatures in b bands of r (default: the legacy 4 bands of 2).
+    Band j's key concatenates the band index with signatures
+    mh[j*r .. j*r+r-1] -- for r=2 this reproduces the legacy key
+    strings byte-for-byte."""
+    b, r = banding
+    sig = minhash_sigs_df(docs_in, b * r)
     bands = sig.select(
         "doc_id",
         *[
-            F.concat_ws("-", F.lit(str(j)), F.col(f"mh{2*j}"), F.col(f"mh{2*j+1}")).alias(
-                f"band{j}"
-            )
-            for j in range(N_BANDS)
+            F.concat_ws(
+                "-",
+                F.lit(str(j)),
+                *[F.col(f"mh{j * r + i}") for i in range(r)],
+            ).alias(f"band{j}")
+            for j in range(b)
         ],
     )
     return bands.select(
         "doc_id",
-        F.explode(F.array(*[F.col(f"band{j}") for j in range(N_BANDS)])).alias(
+        F.explode(F.array(*[F.col(f"band{j}") for j in range(b)])).alias(
             "band_key"
         ),
     )
@@ -316,8 +400,9 @@ def minhash_bands_df(docs_in: DataFrame) -> DataFrame:
 def minhash_band_stats(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     """Monitoring companion to the skew guard: bucket-size histogram
     plus how many buckets/docs the cap would drop."""
+    docs = _t(spark, sf_dir, "documents")
     counts = minhash_bands_df(
-        _t(spark, sf_dir, "documents")
+        docs, minhash_banding(docs.count())
     ).groupBy("band_key").agg(
         F.count("*").alias("bucket_n")
     )
@@ -333,19 +418,31 @@ def minhash_band_stats(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     )
 
 
-def _minhash_pairs_ctes() -> str:
+def _minhash_pairs_ctes(n_rows: int | None = None) -> str:
     """CTE list ending in ``lsh_pairs(doc_a, doc_b)`` -- shared by the
-    candidate-pair oracle and the cluster-resolution oracle."""
+    candidate-pair oracle, the verified oracle, and the
+    cluster-resolution oracle.  ``n_rows`` resolves the banding
+    through the SAME :func:`minhash_banding` the Spark side uses
+    (None -> legacy 4x2, the exported-ORACLES instance; every
+    committed corpus is <= MINHASH_LEGACY_N docs so it resolves
+    identically)."""
+    b_bands, r_rows = (
+        minhash_banding(n_rows) if n_rows is not None else (N_BANDS, 2)
+    )
+    k = b_bands * r_rows
     mh_exprs = ",\n         ".join(
         f"min(({a} * h + {b}) % {_P}) AS mh{i}"
-        for i, (a, b) in enumerate(_MINHASH_AB)
+        for i, (a, b) in enumerate(_MINHASH_AB[:k])
     )
     band_exprs = ", ".join(
-        f"'{j}' || '-' || mh{2*j} || '-' || mh{2*j+1} AS band{j}"
-        for j in range(N_BANDS)
+        f"'{j}' || '-' || "
+        + " || '-' || ".join(f"mh{j * r_rows + i}" for i in range(r_rows))
+        + f" AS band{j}"
+        for j in range(b_bands)
     )
     band_union = " UNION ALL ".join(
-        f"SELECT doc_id, band{j} AS band_key FROM bands" for j in range(N_BANDS)
+        f"SELECT doc_id, band{j} AS band_key FROM bands"
+        for j in range(b_bands)
     )
     return f"""ex AS (
   SELECT doc_id, unnest(list_distinct({_SHINGLES_DUCK})) AS sh

@@ -155,6 +155,7 @@ def near_dup_keep(
     bucket_cap: int = 64,
     max_iters: int = 20,
     checkpoint_dir: str | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """The NEAR-dup stage of the production dedup hierarchy, run on
     the survivors of the exact pass: exact dedup (hash groupBy,
@@ -175,8 +176,11 @@ def near_dup_keep(
     """
     from .dedup import minhash_candidate_pairs, resolve_components
 
+    # n_docs (the survivor count the job already computed for its
+    # summary) resolves the adaptive banding without an extra pass;
+    # None falls back to a count inside minhash_candidate_pairs
     survivors = features.filter(F.col("keep")).select("doc_id", "text")
-    pairs = minhash_candidate_pairs(survivors, bucket_cap)
+    pairs = minhash_candidate_pairs(survivors, bucket_cap, n_docs=n_docs)
     # checkpoint_dir: reliable lineage cuts for the component loop on a
     # real cluster (survives executor loss); local default stays fast
     labels = resolve_components(pairs, max_iters, checkpoint_dir)

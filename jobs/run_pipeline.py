@@ -148,8 +148,10 @@ def main() -> None:
         exact_kept = None
     else:
         exact_kept = features.filter(F.col("keep")).count()
+        # exact_kept doubles as n_docs for the adaptive minhash
+        # banding -- no extra pass over the survivors
         training = near_dup_keep(
-            features, checkpoint_dir=args.checkpoint_dir
+            features, checkpoint_dir=args.checkpoint_dir, n_docs=exact_kept
         ).filter(
             F.col("keep_final")
         ).drop("is_canonical", "passes_gates", "keep", "keep_final")

@@ -35,7 +35,11 @@ def _write_documents(tmp_path, rows):
 @pytest.fixture(scope="module")
 def flood_dir(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("flood")
-    rows = [(i, FLOOD_TEXT) for i in range(1000)]
+    # 900 copies: comfortably past the 64 cap, but the corpus stays
+    # under MINHASH_LEGACY_N so banding resolves to the legacy 4x2
+    # (this fixture tests the CAP; the adaptive-width policy has its
+    # own non-legacy parity test below)
+    rows = [(i, FLOOD_TEXT) for i in range(900)]
     # two NEAR duplicates (one word changed) outside the flood: their
     # band buckets have size 2, well under the cap, so the pair survives
     near_a = FLOOD_TEXT.replace("morning", "evening") + " unique tail one"
@@ -58,9 +62,9 @@ def test_band_cap_bounds_identical_doc_flood(spark, flood_dir):
 def test_band_stats_report_dropped_flood(spark, flood_dir):
     s = minhash_band_stats(spark, flood_dir).collect()[0]
     # the flood bucket may also attract the near-dups on some bands
-    assert s.max_bucket >= 1000
+    assert s.max_bucket >= 900
     assert s.buckets_dropped >= 4  # all 4 bands of the flood doc
-    assert s.docs_in_dropped >= 4000
+    assert s.docs_in_dropped >= 3600
 
 
 def test_band_cap_parity_with_oracle_on_flood(spark, flood_dir):
@@ -193,3 +197,90 @@ def test_minhash_verified_subset_of_brute_force(spark):
     # recall regressions fail loudly
     assert len(brute) > 0
     assert len(verified) / len(brute) >= 0.9, (len(verified), len(brute))
+
+
+# ------------------------------------------------------------------ #
+# Adaptive MinHash width (round 6)                                    #
+# ------------------------------------------------------------------ #
+
+
+def test_minhash_banding_policy_points():
+    from boilerpipe_coffee_spark.operators.dedup import minhash_banding
+
+    # legacy floor: every committed corpus stays at (4, 2)
+    assert minhash_banding(1) == (4, 2)
+    assert minhash_banding(500) == (4, 2)
+    assert minhash_banding(1000) == (4, 2)
+    # one extra row per 10x past the floor
+    assert minhash_banding(1001) == (6, 3)
+    assert minhash_banding(5000) == (6, 3)  # the sf0.1 corpus
+    assert minhash_banding(10000) == (6, 3)
+    assert minhash_banding(10001) == (8, 4)
+    assert minhash_banding(50000) == (8, 4)  # the sf1 rehearsal corpus
+    assert minhash_banding(10**12) == (8, 4)  # capped
+
+
+def _nonlegacy_corpus():
+    """1200-doc corpus (-> banding (6, 3), 18 signatures) with planted
+    exact-duplicate and near-duplicate pairs; deterministic."""
+    import random
+
+    rng = random.Random(20250817)
+    vocab = [
+        "w%03d" % i for i in range(400)
+    ]
+    rows = []
+    for i in range(1180):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+    # 10 exact duplicates (guaranteed band collisions at any width)
+    for j in range(10):
+        rows.append((2000 + j, rows[j][1]))
+    # 10 near duplicates: two words swapped
+    for j in range(10):
+        words = rows[100 + j][1].split()
+        words[5], words[20] = "zzalt", "zzother"
+        rows.append((3000 + j, " ".join(words)))
+    return rows
+
+
+def test_minhash_nonlegacy_policy_point_parity(spark, tmp_path):
+    """Hash-exact Spark-vs-DuckDB parity at a NON-legacy policy point
+    (n=1200 -> 6 bands of 3, 18 signatures): the operator derives the
+    banding from the corpus count, the oracle CTEs from the same
+    function via n_rows -- the emb_banding-style proof that the two
+    sides stay in lockstep when the policy leaves the legacy floor."""
+    import duckdb
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        _minhash_pairs_ctes,
+        dedup_minhash_lsh,
+        minhash_banding,
+    )
+
+    rows = _nonlegacy_corpus()
+    assert minhash_banding(len(rows)) == (6, 3)
+    d = _write_documents(tmp_path, rows)
+
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, d).collect()
+    )
+    sql = (
+        f"WITH {_minhash_pairs_ctes(n_rows=len(rows))} "
+        "SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = sorted((a, b) for a, b in con.sql(sql).fetchall())
+    con.close()
+    assert got == want
+    # the parity is non-trivial: the planted exact dups MUST pair at
+    # any banding width, and near dups should survive (6, 3)
+    pair_set = set(got)
+    for j in range(10):
+        assert (j, 2000 + j) in pair_set
+    near_hits = sum((100 + j, 3000 + j) in pair_set for j in range(10))
+    assert near_hits >= 8, f"near-dup recall collapsed: {near_hits}/10"

@@ -92,7 +92,9 @@ def _band_keys(text):
         int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
         for s in shingles
     ]
-    sig = [min((a * h + b) % _P for h in hs) for a, b in _MINHASH_AB]
+    # legacy 8-signature banding: this corpus is far below
+    # MINHASH_LEGACY_N, so the operators resolve to (4 bands, 2 rows)
+    sig = [min((a * h + b) % _P for h in hs) for a, b in _MINHASH_AB[:8]]
     return {(j, sig[2 * j], sig[2 * j + 1]) for j in range(N_BANDS)}
 
 
