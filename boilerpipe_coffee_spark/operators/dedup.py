@@ -471,13 +471,16 @@ def _minhash_pairs_ctes(n_rows: int | None = None) -> str:
 )"""
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH {_minhash_pairs_ctes()}
+def _minhash_lsh_sql(n_rows: int | None = None) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(n_rows)}
 SELECT doc_a, doc_b FROM lsh_pairs ORDER BY doc_a, doc_b
 """
 
-MINHASH_BAND_STATS_SQL = f"""
-WITH {_minhash_pairs_ctes()},
+
+def _minhash_band_stats_sql(n_rows: int | None = None) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(n_rows)},
 bc AS (
   SELECT band_key, count(*) AS bucket_n FROM stacked GROUP BY band_key
 )
@@ -489,6 +492,11 @@ SELECT count(*) AS n_buckets,
          AS docs_in_dropped
 FROM bc
 """
+
+
+DEDUP_MINHASH_SQL = _minhash_lsh_sql()
+
+MINHASH_BAND_STATS_SQL = _minhash_band_stats_sql()
 
 
 # ------------------------------------------------------------------ #
@@ -820,9 +828,11 @@ def dedup_minhash_verified(
     )
 
 
-def _minhash_verified_sql(threshold: float = 0.5) -> str:
+def _minhash_verified_sql(
+    threshold: float = 0.5, n_rows: int | None = None
+) -> str:
     return f"""
-WITH {_minhash_pairs_ctes()}, sets AS (
+WITH {_minhash_pairs_ctes(n_rows)}, sets AS (
   SELECT doc_id, list_distinct({_SHINGLES_DUCK}) AS sh
   FROM documents WHERE len({_TOKENS_DUCK}) >= 3
 ), sized AS (
@@ -1087,8 +1097,9 @@ def dedup_clusters(spark, sf_dir, max_iters: int = 20):
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_minhash_pairs_ctes()},
+def _clusters_sql(n_rows: int | None = None) -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes(n_rows)},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
   UNION ALL
@@ -1102,6 +1113,9 @@ reach (doc_id, lbl) AS (
 SELECT doc_id, min(lbl) AS cluster_id, (doc_id = min(lbl)) AS keep
 FROM reach GROUP BY doc_id ORDER BY doc_id
 """
+
+
+DEDUP_CLUSTERS_SQL = _clusters_sql()
 
 
 QUERIES = {

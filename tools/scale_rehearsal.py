@@ -1,0 +1,176 @@
+"""Scale rehearsal (round 6, VERDICT r5 task 1): run the dedup /
+similarity / packing families on a consistent corpus ladder up to sf1
+(50k docs / 20k vectors -- 10x the largest committed corpus) with FULL
+DuckDB-oracle hash parity at every point, and record the
+candidate-ratio / bucket-occupancy stats that turn the 100-TB scale
+argument into a measured trend line.
+
+Corpora come from tools/make_scale_corpus.py (deterministic, same
+shape as the driver testdata); oracles are regenerated per point
+through the SAME banding policies the operators use
+(dedup.minhash_banding / similarity.emb_banding), so non-legacy policy
+points (5k docs -> 6x3, 50k -> 8x4; 2k vecs -> 6x16, 20k -> 10x24)
+are exercised for real, not extrapolated.
+
+Usage:
+    python tools/scale_rehearsal.py [--base /tmp/scale] [--ladder
+        500:500,5000:2000,50000:20000] [--skip-oracle-over N]
+
+Prints one JSON line per (point, family) and a final summary; paste
+the table into BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import duckdb  # noqa: E402
+
+from driver_sim import _value_hash  # noqa: E402
+
+
+def _spark():
+    from boilerpipe_coffee_spark.plans import get_spark
+
+    return get_spark()
+
+
+def _compare(sdf, con, sql):
+    s_cols = sdf.columns
+    t0 = time.time()
+    s_rows = [tuple(r) for r in sdf.collect()]
+    spark_sec = time.time() - t0
+    t0 = time.time()
+    pdf = con.sql(sql).df()
+    oracle_sec = time.time() - t0
+    d_cols = list(pdf.columns)
+    d_rows = [
+        tuple(x.item() if hasattr(x, "item") else x for x in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    return {
+        "spark_rows": len(s_rows),
+        "oracle_rows": len(d_rows),
+        "schema_match": sorted(s_cols) == sorted(d_cols),
+        "hash_match": len(s_rows) == len(d_rows)
+        and sorted(s_cols) == sorted(d_cols)
+        and _value_hash(s_cols, s_rows) == _value_hash(d_cols, d_rows),
+        "spark_sec": round(spark_sec, 2),
+        "oracle_sec": round(oracle_sec, 2),
+    }
+
+
+def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
+    from boilerpipe_coffee_spark.operators import dedup, similarity, textstats
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+
+    mb, mr = dedup.minhash_banding(n_docs)
+    eb, et = similarity.emb_banding(n_vecs)
+    families = [
+        ("dedup_minhash_lsh", dedup.dedup_minhash_lsh,
+         dedup._minhash_lsh_sql(n_docs)),
+        ("dedup_minhash_verified", dedup.dedup_minhash_verified,
+         dedup._minhash_verified_sql(n_rows=n_docs)),
+        ("dedup_simhash_pairs", dedup.dedup_simhash_pairs,
+         dedup.DEDUP_SIMHASH_PAIRS_SQL),
+        ("dedup_clusters", dedup.dedup_clusters,
+         dedup._clusters_sql(n_docs)),
+        ("dedup_embedding_lsh_pairs", similarity.dedup_embedding_lsh_pairs,
+         similarity._emb_lsh_pairs_sql(n_rows=n_vecs)),
+        ("pack_concat_split", textstats.pack_concat_split,
+         textstats.PACK_CONCAT_SPLIT_SQL),
+        ("minhash_band_stats", dedup.minhash_band_stats,
+         dedup._minhash_band_stats_sql(n_docs)),
+        ("simhash_chunk_stats", dedup.simhash_chunk_stats,
+         dedup.SIMHASH_CHUNK_STATS_SQL),
+        ("emb_bucket_stats", similarity.emb_bucket_stats,
+         similarity._emb_bucket_stats_sql(n_rows=n_vecs)),
+    ]
+    out = []
+    for name, fn, sql in families:
+        rec = {
+            "point": os.path.basename(d), "n_docs": n_docs,
+            "n_vecs": n_vecs, "family": name,
+            "minhash_banding": [mb, mr], "emb_banding": [eb, et],
+        }
+        try:
+            sdf = fn(spark, d)
+            if skip_oracle:
+                t0 = time.time()
+                rec["spark_rows"] = sdf.count()
+                rec["spark_sec"] = round(time.time() - t0, 2)
+                rec["oracle_skipped"] = True
+            else:
+                rec.update(_compare(sdf, con, sql))
+            if name.endswith("_stats"):
+                rec["stats"] = {
+                    k: (v.item() if hasattr(v, "item") else v)
+                    for k, v in fn(spark, d).collect()[0].asDict().items()
+                }
+            rec["err"] = None
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:400]
+        print(json.dumps(rec), flush=True)
+        out.append(rec)
+    con.close()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/tmp/scale")
+    ap.add_argument(
+        "--ladder", default="500:500,5000:2000,50000:20000",
+        help="comma-separated n_docs:n_vecs points",
+    )
+    ap.add_argument(
+        "--skip-oracle-over", type=int, default=10**9,
+        help="skip the DuckDB side for points with n_docs above this",
+    )
+    args = ap.parse_args()
+
+    from make_scale_corpus import write_corpus
+
+    points = []
+    for part in args.ladder.split(","):
+        nd, nv = (int(x) for x in part.split(":"))
+        d = os.path.join(args.base, f"d{nd}_v{nv}")
+        if not os.path.exists(os.path.join(d, "documents.parquet")):
+            write_corpus(d, nd, nv)
+            print(json.dumps({"generated": d, "docs": nd, "vecs": nv}),
+                  flush=True)
+        points.append((d, nd, nv))
+
+    spark = _spark()
+    all_recs = []
+    for d, nd, nv in points:
+        all_recs += run_point(
+            spark, d, nd, nv, skip_oracle=nd > args.skip_oracle_over
+        )
+    bad = [r for r in all_recs
+           if r["err"] or not r.get("hash_match", True)]
+    print(json.dumps({
+        "summary": {
+            "points": len(points), "rows": len(all_recs),
+            "bad": [(r["point"], r["family"]) for r in bad],
+        }
+    }))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
