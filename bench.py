@@ -166,6 +166,26 @@ def run_bench() -> dict:
     spec.loader.exec_module(entry)
     qs = entry.queries()
 
+    import shutil
+
+    from boilerpipe_coffee_spark.operators.pipeline import (
+        extract_balanced_scoped,
+        run_partitioned,
+    )
+
+    def _balanced_count():
+        with extract_balanced_scoped(docs, "ArticleExtractor") as bal:
+            return bal.count()
+
+    rp_dir = f"/tmp/bpc_bench_rp_{os.getpid()}"
+
+    def _run_partitioned_fresh():
+        # fresh run each time (resume semantics are tested, not
+        # benched): clear the output so all buckets execute
+        shutil.rmtree(rp_dir, ignore_errors=True)
+        return run_partitioned(spark, docs, rp_dir, "ArticleExtractor",
+                               n_buckets=8)
+
     # warm pass (JIT, python workers, page cache) -- recorded, not used.
     # The SUITE queries get the same treatment as extraction: a pandas-
     # UDF query's first call pays ~15-20 s of python-worker spawn +
@@ -174,6 +194,8 @@ def run_bench() -> dict:
     # medians vs ~4-6 s warm), so all timed samples are warm-state.
     n_out, warm = _timed(lambda: extract(docs, "ArticleExtractor").count())
     extract_staged(docs, "ArticleExtractor").count()
+    _balanced_count()
+    _run_partitioned_fresh()
     for name in SUITE:
         qs[name](spark, SF_DIR).count()
 
@@ -189,6 +211,16 @@ def run_bench() -> dict:
         )
         samples.setdefault("extract_article_staged", []).append(t_staged)
         ratios.append(t_staged / t_art)  # paired within the pass
+        # skew-routing path (r6: per-round regression tracking instead
+        # of ad-hoc BASELINE.md measurements).  This corpus has no
+        # giant-doc stragglers, so the expected steady state is
+        # "moderately slower than plain" (persist overhead, CLAUDE.md)
+        _, t_bal = _timed(_balanced_count)
+        samples.setdefault("extract_balanced", []).append(t_bal)
+        # resumable partitioned loop, fresh run (single scan + bucketed
+        # dynamic-partition-overwrite write + metric commits)
+        _, t_rp = _timed(_run_partitioned_fresh)
+        samples.setdefault("run_partitioned", []).append(t_rp)
         for name in SUITE:
             _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
             samples.setdefault(name, []).append(t)
@@ -210,6 +242,7 @@ def run_bench() -> dict:
     _, p3 = _timed(lambda: extract(docs3, "ArticleExtractor").count())
     _, s3 = _timed(lambda: extract_staged(docs3, "ArticleExtractor").count())
 
+    shutil.rmtree(rp_dir, ignore_errors=True)
     spark.stop()
     return {
         "metric": "article_extract_wall_sec",
