@@ -783,6 +783,46 @@ FROM bc
 """
 
 
+def shingle_sets_df(docs_in: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sh array<string>, n_sh): the
+    DISTINCT 3-shingle set per document, one map-side Arrow pass.
+    Same rationale as :func:`minhash_sigs_df`: the declarative form
+    (split/transform/slice/concat_ws/array_distinct HOFs) is
+    interpreted per element and dominated the verify stage at the sf1
+    rehearsal (119 s at 50k docs, ~75% in the set build).  Values are
+    identical to ``list_distinct({shingles})`` in the oracle CTEs;
+    set ORDER is unspecified on both sides (consumers use
+    size/array_intersect only)."""
+    import re
+
+    import pandas as pd
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def sets_fn(batches):
+        for pdf in batches:
+            ids, sets_, sizes = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                if len(toks) < 3:
+                    continue
+                sh = list(
+                    {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+                )
+                ids.append(doc_id)
+                sets_.append(sh)
+                sizes.append(len(sh))
+            yield pd.DataFrame(
+                {"doc_id": ids, "sh": sets_, "n_sh": sizes}
+            )
+
+    schema = (
+        "doc_id " + _doc_id_sql_type(docs_in)
+        + ", sh array<string>, n_sh int"
+    )
+    return docs_in.select("doc_id", "text").mapInPandas(sets_fn, schema)
+
+
 def dedup_minhash_verified(
     spark, sf_dir, threshold: float = 0.5, bucket_cap: int = BUCKET_CAP
 ):
@@ -792,19 +832,11 @@ def dedup_minhash_verified(
     twin of :func:`dedup_ngram_jaccard`, whose all-pairs shingle
     self-join is the fenced correctness baseline.  The verify join is
     candidate-pair-sized (bounded by the bucket cap), with each side's
-    distinct shingle set riding along once; the intersection is a
-    columnar array_intersect, no shingle explosion."""
+    distinct shingle set riding along once (Arrow-built, see
+    :func:`shingle_sets_df`); the intersection is a columnar
+    array_intersect, no shingle explosion."""
     pairs = _minhash_pairs(spark, sf_dir, bucket_cap)
-    sets = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.expr(_SHINGLES).alias("sh"))
-        .select(
-            "doc_id",
-            F.array_distinct("sh").alias("sh"),
-        )
-        .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
-    )
+    sets = shingle_sets_df(_t(spark, sf_dir, "documents"))
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),
