@@ -258,6 +258,13 @@ def emb_banding(n_rows: int) -> "tuple[int, int]":
 EMB_BUCKET_CAP = 512
 EMB_NEARDUP_THRESHOLD = 0.45
 
+# Verify-stage strategy gate: when the full (n, DIM) float64 matrix is
+# at most this many bytes it is broadcast and candidate pairs verify
+# by GATHER (no vector-carrying shuffle join); above it the general
+# join path runs.  64 MB = ~125k vectors at DIM=64 -- far below any
+# executor-memory hazard, far above every committed corpus.
+EMB_BCAST_VERIFY_MAX_BYTES = 64 << 20
+
 
 def _stack_vectors(col: pd.Series) -> np.ndarray:
     """Stack an Arrow batch of embedding vectors into (n, DIM) float64,
@@ -327,6 +334,39 @@ def _cosine_udf():
     return cos
 
 
+def _gather_verify_df(emb, cand):
+    """(vec_a, vec_b) id pairs -> + raw cosine, via a DRIVER-collected
+    broadcast of the whole vector matrix (size-gated by the caller:
+    this is the one place a corpus-sized collect is the scale-correct
+    plan, exactly like Spark's own broadcast-join side, and only runs
+    under EMB_BCAST_VERIFY_MAX_BYTES).  Arithmetic is identical to
+    :func:`_cosine_udf` -- float64 gather + einsum + np.linalg.norm --
+    so the two verify strategies are bit-for-bit interchangeable."""
+    import pandas as pd
+
+    rows = emb.collect()
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    idx = {r.vec_id: i for i, r in enumerate(rows)}
+    bc = emb.sparkSession.sparkContext.broadcast((idx, mat))
+
+    def verify_fn(batches):
+        lookup, m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ia = pdf["vec_a"].map(lookup).to_numpy()
+            ib = pdf["vec_b"].map(lookup).to_numpy()
+            a, b = m[ia], m[ib]
+            num = np.einsum("ij,ij->i", a, b)
+            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"],
+                 "raw": num / den}
+            )
+
+    return cand.mapInPandas(verify_fn, "vec_a bigint, vec_b bigint, raw double")
+
+
 def dedup_embedding_lsh_pairs(
     spark,
     sf_dir,
@@ -348,9 +388,15 @@ def dedup_embedding_lsh_pairs(
          buckets over ``bucket_cap`` are dropped (vector floods are
          exact-dup territory -- see EMB_BUCKET_CAP note);
       3. in-bucket join emits DISTINCT (vec_a < vec_b) id pairs;
-      4. exact verify joins the pair ids back to the vectors (two
-         vec_id-keyed shuffle joins) and keeps cosine >= threshold
-         (vectorized; rounded 4dp JVM-side for oracle parity).
+      4. exact verify keeps cosine >= threshold (vectorized; rounded
+         4dp JVM-side for oracle parity).  Strategy is size-gated:
+         under EMB_BCAST_VERIFY_MAX_BYTES the whole vector matrix
+         broadcasts and pairs verify by gather (r6: no vector-carrying
+         shuffle -- 40 s -> 14.8 s at the 20k-vector sf1 point, where
+         the join shipped ~6 GB of vectors to 6M pairs); above the
+         gate, two vec_id-keyed shuffle joins (the general path).
+         Both strategies are bit-for-bit interchangeable (same numpy
+         ops; A/B + oracle parity tested).
 
     Float determinism vs the DuckDB oracle: numpy sums in SIMD/pairwise
     order, DuckDB sequentially -- they could differ only if a
@@ -393,13 +439,30 @@ def dedup_embedding_lsh_pairs(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = F.round(_cosine_udf()(F.col("va"), F.col("vb")), 4)
+    if n_rows * DIM * 8 <= EMB_BCAST_VERIFY_MAX_BYTES:
+        # broadcast-gather verify (r6): the whole vector matrix is
+        # tiny relative to the candidate join it replaces (at the sf1
+        # rehearsal: 10 MB broadcast vs ~6 GB of vectors shipped to
+        # 6M pairs through two shuffle joins -- measured 40 s -> see
+        # BASELINE.md).  Float ops are IDENTICAL to _cosine_udf
+        # (einsum + np.linalg.norm on float64 rows), so results stay
+        # bit-for-bit; rounding remains JVM-side.  Beyond the size
+        # gate (corpora whose matrix no longer fits comfortably in
+        # executor memory) the general shuffle-join path below takes
+        # over unchanged.
+        raw = _gather_verify_df(emb, cand)  # cand is already distinct
+    else:
+        ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+        eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+        raw = (
+            cand.join(ea, "vec_a")
+            .join(eb, "vec_b")
+            .select(
+                "vec_a", "vec_b", _cosine_udf()(F.col("va"), F.col("vb")).alias("raw")
+            )
+        )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        raw.select("vec_a", "vec_b", F.round("raw", 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

@@ -197,3 +197,24 @@ def test_adaptive_banding_oracle_parity_larger_corpus(spark, tmp_path):
     for (_, _, cg), (_, _, cw) in zip(got, want):
         assert math.isclose(cg, cw, abs_tol=1e-4)
     assert (9001, 9002) in {(a, b) for a, b, _ in got}
+
+
+def test_verify_strategies_bit_identical(spark, monkeypatch):
+    """The size-gated broadcast-gather verify (r6) and the general
+    shuffle-join verify must be bit-for-bit interchangeable -- the
+    committed corpora always take the gather path, so this pins the
+    join path (the 100-TB fallback) against it explicitly."""
+    from boilerpipe_coffee_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.01"
+    gather = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in S.dedup_embedding_lsh_pairs(spark, sf).collect()
+    )
+    monkeypatch.setattr(S, "EMB_BCAST_VERIFY_MAX_BYTES", 0)
+    join = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in S.dedup_embedding_lsh_pairs(spark, sf).collect()
+    )
+    assert gather == join
+    assert len(gather) > 0
