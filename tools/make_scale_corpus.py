@@ -46,6 +46,21 @@ NEAR_DUP_DOC_FRAC = 0.005
 NEAR_DUP_VEC_FRAC = 0.015
 
 
+def planted_pairs(n: int, frac: float) -> list[tuple[int, int]]:
+    """The deterministic (src, tgt) = (tgt-1, tgt) id pairs the
+    generators plant -- ground truth for recall measurement in
+    tools/scale_rehearsal.py."""
+    n_planted = int(n * frac)
+    step = max(n // (n_planted + 1), 1)
+    out = []
+    for j in range(n_planted):
+        tgt = (j + 1) * step
+        if tgt >= n:
+            break
+        out.append((tgt - 1, tgt))
+    return out
+
+
 def make_documents(n_docs: int, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     lengths = rng.integers(10, 101, size=n_docs)

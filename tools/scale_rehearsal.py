@@ -99,6 +99,19 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
         ("emb_bucket_stats", similarity.emb_bucket_stats,
          similarity._emb_bucket_stats_sql(n_rows=n_vecs)),
     ]
+    # planted-pair ground truth from the generator's deterministic
+    # (tgt-1, tgt) placement -- lets the rehearsal report recall, not
+    # just parity (a banding policy could pass parity while losing
+    # every true near-dup)
+    from make_scale_corpus import (
+        NEAR_DUP_DOC_FRAC,
+        NEAR_DUP_VEC_FRAC,
+        planted_pairs,
+    )
+
+    doc_truth = planted_pairs(n_docs, NEAR_DUP_DOC_FRAC)
+    vec_truth = planted_pairs(n_vecs, NEAR_DUP_VEC_FRAC)
+
     out = []
     for name, fn, sql in families:
         rec = {
@@ -115,6 +128,15 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
                 rec["oracle_skipped"] = True
             else:
                 rec.update(_compare(sdf, con, sql))
+            if name in ("dedup_minhash_lsh", "dedup_embedding_lsh_pairs"):
+                truth = doc_truth if name.startswith("dedup_minhash") else vec_truth
+                pairs_df = fn(spark, d)
+                got = {
+                    (r[0], r[1])
+                    for r in pairs_df.select(pairs_df.columns[:2]).collect()
+                }
+                hits = sum(p in got for p in truth)
+                rec["planted_recall"] = [hits, len(truth)]
             if name.endswith("_stats"):
                 rec["stats"] = {
                     k: (v.item() if hasattr(v, "item") else v)
