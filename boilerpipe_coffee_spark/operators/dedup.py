@@ -111,10 +111,8 @@ from ..functions import h64 as _h64  # noqa: E402  (shared cross-engine hash)
 from ..functions import TOKENS as _TOKENS
 from ..functions import TOKENS_DUCK as _TOKENS_DUCK
 from ..functions import h64_duck as _h64_duck
-from ..functions import shingles as _mk_shingles
 from ..functions import shingles_duck as _mk_shingles_duck
 
-_SHINGLES = _mk_shingles(3)
 _SHINGLES_DUCK = _mk_shingles_duck(3)
 
 # band-bucket skew cap, shared by the Spark operator AND the DuckDB

@@ -107,10 +107,16 @@ def make_embeddings(n_vecs: int, seed: int = 43) -> pa.Table:
         src = tgt - 1
         if tgt >= n_vecs:
             break
-        # cosine ~ 1/sqrt(1+sigma^2): sigma in [0.4, 2.0] lands the
-        # pair in the ~[0.45, 0.93] near-dup band
-        sigma = 0.4 + 1.6 * rng.random()
-        p = v[src] + sigma * rng.standard_normal(DIM)
+        # perturb along a UNIT random direction: cosine ~
+        # 1/sqrt(1+eps^2) (direction ~orthogonal to u in high dim);
+        # eps in [0.33, 1.5] lands the pair in the ~[0.55, 0.95]
+        # near-dup band.  (A raw sigma*g perturbation has norm
+        # ~sigma*sqrt(DIM), which at dim 64 pushed 'near-dups' down
+        # to cosine ~0.1-0.3 -- caught by the rehearsal's recall
+        # column reading 0.)
+        eps = 0.33 + 1.17 * rng.random()
+        g = rng.standard_normal(DIM)
+        p = v[src] + eps * (g / np.linalg.norm(g))
         v[tgt] = p / np.linalg.norm(p)
     labels = rng.integers(0, 10, size=n_vecs)
     return pa.table(
@@ -125,6 +131,9 @@ def make_embeddings(n_vecs: int, seed: int = 43) -> pa.Table:
     )
 
 
+CORPUS_VERSION = "v2"  # bump when generation changes; stale dirs regenerate
+
+
 def write_corpus(out_dir: str, n_docs: int, n_vecs: int, seed: int = 42):
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(
@@ -134,7 +143,17 @@ def write_corpus(out_dir: str, n_docs: int, n_vecs: int, seed: int = 42):
         make_embeddings(n_vecs, seed + 1),
         os.path.join(out_dir, "embeddings.parquet"),
     )
+    with open(os.path.join(out_dir, "_VERSION"), "w") as f:
+        f.write(CORPUS_VERSION)
     return out_dir
+
+
+def corpus_current(out_dir: str) -> bool:
+    try:
+        with open(os.path.join(out_dir, "_VERSION")) as f:
+            return f.read().strip() == CORPUS_VERSION
+    except OSError:
+        return False
 
 
 def main():

@@ -164,13 +164,13 @@ def main():
     )
     args = ap.parse_args()
 
-    from make_scale_corpus import write_corpus
+    from make_scale_corpus import corpus_current, write_corpus
 
     points = []
     for part in args.ladder.split(","):
         nd, nv = (int(x) for x in part.split(":"))
         d = os.path.join(args.base, f"d{nd}_v{nv}")
-        if not os.path.exists(os.path.join(d, "documents.parquet")):
+        if not corpus_current(d):
             write_corpus(d, nd, nv)
             print(json.dumps({"generated": d, "docs": nd, "vecs": nv}),
                   flush=True)
