@@ -55,13 +55,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
-        # r6 measurement (BASELINE.md): zstd beat the lz4 default by a
-        # consistent ~9% on the staged path's one exchange (text-span
-        # payloads compress well; 2x3-codec interleaved probe, medians
-        # 5.4 vs 6.0 s).  On a real cluster the better ratio also cuts
-        # network bytes; the production extract path has zero exchanges
-        # and is unaffected.
-        .config("spark.io.compression.codec", "zstd")
+        # Shuffle/broadcast codec stays on the lz4 DEFAULT.  r6
+        # measured both ways (BASELINE.md): zstd wins ~9% on the
+        # staged path's one big text exchange, but costs the
+        # broadcast-heavy queries far more (dedup_embedding_lsh_pairs
+        # ~2.2-3 s lz4 vs ~4-5 s zstd, consistent across interleaved
+        # process-level A/B -- the 10 MB gather broadcast decompresses
+        # per task).  Net loss for the suite; declined.
     )
     if periodic_gc is not None:
         builder = builder.config(
