@@ -117,6 +117,7 @@ SUITE = [
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_simhash_pairs",
