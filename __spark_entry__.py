@@ -272,6 +272,7 @@ EXTRA = [
     "stratified_sample",
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
     "pii_scrub",  # r5 redaction counts + scrubbed-text hash (6 classes)
+    "dedup_incremental",  # r6 new-batch-vs-existing-corpus dedup probe
 ]
 
 

@@ -885,6 +885,120 @@ DEDUP_MINHASH_VERIFIED_SQL = _minhash_verified_sql()
 
 
 # ------------------------------------------------------------------ #
+# incremental dedup: a new batch against an existing corpus            #
+# ------------------------------------------------------------------ #
+
+# deterministic batch split for the driver corpora: doc_id % 5 == 0 is
+# the "incoming crawl" (20%), the rest is the already-ingested corpus
+INCR_SPLIT_MOD = 5
+
+
+def dedup_incremental(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
+    """Dedup a NEW batch against an EXISTING corpus -- the production
+    shape of every recurring crawl ingest: the training set is already
+    deduplicated, so each incoming document only needs (a) an exact
+    match lookup against existing content hashes and (b) an asymmetric
+    banded-LSH probe against the existing corpus's band table.  Intra-
+    batch duplicates are deliberately NOT resolved here (that is the
+    standard dedup ops' job on the kept batch).
+
+    Output, one row per incoming doc: ``exact_dup_of`` / ``near_dup_of``
+    = the minimum existing doc_id matched (null if none), ``keep`` =
+    both null.
+
+    Scale shape: both probes are joins keyed on content hash / band
+    key -- linear in batch + corpus size, never all-pairs.  The skew
+    cap applies to the EXISTING side's bucket occupancy (a flooded
+    corpus bucket means the incoming doc matches boilerplate that
+    exact-dedup already collapsed); at 100 TB the existing band table
+    is the thing you materialize bucketed once per corpus version and
+    probe per crawl.  Banding resolves through
+    :func:`minhash_banding` on the full table count, same as the
+    symmetric ops; the oracle derives it from the same function."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    incoming = F.col("doc_id") % INCR_SPLIT_MOD == 0
+    hashes = docs.select("doc_id", F.md5("text").alias("h"))
+    exist_h = (
+        hashes.filter(~incoming)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    exact = hashes.filter(incoming).join(exist_h, "h", "left").select(
+        "doc_id", "exact_dup_of"
+    )
+
+    bands = minhash_bands_df(docs, minhash_banding(docs.count()))
+    ex_capped = (
+        bands.filter(~incoming)
+        .withColumn("bn", F.count("*").over(Window.partitionBy("band_key")))
+        .filter(F.col("bn") <= bucket_cap)
+        .select(F.col("doc_id").alias("ex_id"), "band_key")
+    )
+    near = (
+        bands.filter(incoming)
+        .join(ex_capped, "band_key")
+        .groupBy("doc_id")
+        .agg(F.min("ex_id").alias("near_dup_of"))
+    )
+    # -1 sentinel for "no match": a nullable BIGINT column round-trips
+    # through the driver's pandas compare as float64 NaN on the DuckDB
+    # side (the r2 ::BIGINT lesson), so both engines emit the sentinel
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup_of", F.lit(-1)).alias("exact_dup_of"),
+            F.coalesce("near_dup_of", F.lit(-1)).alias("near_dup_of"),
+            (
+                F.col("exact_dup_of").isNull()
+                & F.col("near_dup_of").isNull()
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _incremental_sql(n_rows: int | None = None) -> str:
+    return f"""
+WITH {_minhash_pairs_ctes(n_rows)},
+ex_side AS (
+  SELECT doc_id, band_key FROM stacked WHERE doc_id % {INCR_SPLIT_MOD} <> 0
+), ex_capped AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           count(*) OVER (PARTITION BY band_key) AS bn
+    FROM ex_side)
+  WHERE bn <= {BUCKET_CAP}
+), inc_side AS (
+  SELECT doc_id, band_key FROM stacked WHERE doc_id % {INCR_SPLIT_MOD} = 0
+), near AS (
+  SELECT i.doc_id, min(e.doc_id) AS near_dup_of
+  FROM inc_side i JOIN ex_capped e ON e.band_key = i.band_key
+  GROUP BY i.doc_id
+), hashes AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), exist_h AS (
+  SELECT h, min(doc_id) AS exact_dup_of FROM hashes
+  WHERE doc_id % {INCR_SPLIT_MOD} <> 0 GROUP BY h
+)
+SELECT i.doc_id,
+       COALESCE(eh.exact_dup_of, -1) AS exact_dup_of,
+       COALESCE(n.near_dup_of, -1) AS near_dup_of,
+       (eh.exact_dup_of IS NULL AND n.near_dup_of IS NULL) AS keep
+FROM hashes i
+LEFT JOIN exist_h eh ON eh.h = i.h
+LEFT JOIN near n ON n.doc_id = i.doc_id
+WHERE i.doc_id % {INCR_SPLIT_MOD} = 0
+ORDER BY i.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _incremental_sql()
+
+
+# ------------------------------------------------------------------ #
 # duplicate-cluster resolution: candidate pairs -> connected           #
 # components -> canonical keep-set                                     #
 # ------------------------------------------------------------------ #
@@ -1158,6 +1272,7 @@ QUERIES = {
     "minhash_band_stats": minhash_band_stats,
     "simhash_chunk_stats": simhash_chunk_stats,
     "dedup_minhash_verified": dedup_minhash_verified,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLES = {
@@ -1170,4 +1285,5 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "simhash_chunk_stats": SIMHASH_CHUNK_STATS_SQL,
     "dedup_minhash_verified": DEDUP_MINHASH_VERIFIED_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }

@@ -284,3 +284,52 @@ def test_minhash_nonlegacy_policy_point_parity(spark, tmp_path):
         assert (j, 2000 + j) in pair_set
     near_hits = sum((100 + j, 3000 + j) in pair_set for j in range(10))
     assert near_hits >= 8, f"near-dup recall collapsed: {near_hits}/10"
+
+
+def test_dedup_incremental_semantics(spark, tmp_path):
+    """Planted split-aware corpus: exact/near matches across the
+    batch boundary are flagged with the MIN existing doc_id;
+    intra-batch duplicates are deliberately NOT flagged (the standard
+    dedup ops own the kept batch); unmatched incoming docs keep."""
+    import duckdb
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        DEDUP_INCREMENTAL_SQL,
+        dedup_incremental,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon "
+    ) * 4
+    other = "totally different text about sailing boats and the sea " * 6
+    rows = [
+        # existing corpus (doc_id % 5 != 0)
+        (1, base + "phi chi psi"),
+        (2, base + "phi chi psi"),     # same text as 1 (min id = 1)
+        (3, other),
+        # incoming batch (doc_id % 5 == 0)
+        (10, base + "phi chi psi"),    # exact dup of existing 1
+        (15, base + "phi rho omega"),  # near dup of existing 1/2
+        (20, "unique incoming content about telescopes and stars " * 6),
+        (25, "duplicate only within the batch " * 8),
+        (30, "duplicate only within the batch " * 8),  # intra-batch twin
+    ]
+    d = _write_documents(tmp_path, rows)
+    got = {r.doc_id: r for r in dedup_incremental(spark, d).collect()}
+    assert set(got) == {10, 15, 20, 25, 30}
+    assert got[10].exact_dup_of == 1 and not got[10].keep
+    assert got[15].exact_dup_of == -1
+    assert got[15].near_dup_of in (1, 2) and not got[15].keep
+    assert got[20].keep and got[20].exact_dup_of == -1
+    # intra-batch twins are NOT each other's dups here
+    for i in (25, 30):
+        assert got[i].exact_dup_of == -1 and got[i].keep
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.sql(DEDUP_INCREMENTAL_SQL).fetchall())
+    con.close()
+    assert sorted(tuple(r) for r in got.values()) == want
