@@ -273,6 +273,7 @@ EXTRA = [
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
     "pii_scrub",  # r5 redaction counts + scrubbed-text hash (6 classes)
     "dedup_incremental",  # r6 new-batch-vs-existing-corpus dedup probe
+    "streaming_incremental_dedup",  # r6 stream-static join twin
 ]
 
 

@@ -705,11 +705,97 @@ def streaming_extract_spans(spark, sf_dir, n_docs: int = 120):
     )
 
 
+def streaming_incremental_dedup(spark, sf_dir):
+    """STREAM-STATIC joins -- the Structured Streaming pattern the
+    family was still missing: the incoming batch (doc_id %
+    INCR_SPLIT_MOD == 0, same split as the batch op) arrives as a
+    file stream and probes the STATIC existing-corpus tables -- an
+    exact content-hash left join plus the asymmetric banded-LSH join
+    against the existing band table (cap on the existing side's
+    occupancy).  Both probes are STATELESS (no watermark, no state
+    store): each micro-batch joins against the static frames, and at
+    scale the static side is the bucketed band table a corpus version
+    materializes once.  The two probe kinds union into one sink as
+    (doc_id, kind, ref) rows; the batch-side fold to min-ref per kind
+    equals :func:`..operators.dedup.dedup_incremental` exactly,
+    independent of micro-batch boundaries (maxFilesPerTrigger=1 over
+    5 files forces several).  Oracle: the batch op's
+    DEDUP_INCREMENTAL_SQL, shared verbatim."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import (
+        BUCKET_CAP,
+        INCR_SPLIT_MOD,
+        minhash_banding,
+        minhash_bands_df,
+    )
+
+    drops, out, ckpt = _work_dirs("incr", sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    banding = minhash_banding(docs.count())
+    incoming = F.col("doc_id") % INCR_SPLIT_MOD == 0
+    existing = docs.filter(~incoming)
+    exist_h = (
+        existing.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("ref"))
+    )
+    ex_capped = (
+        minhash_bands_df(existing, banding)
+        .withColumn("bn", F.count("*").over(Window.partitionBy("band_key")))
+        .filter(F.col("bn") <= BUCKET_CAP)
+        .select(F.col("doc_id").alias("ref"), "band_key")
+    )
+
+    docs.filter(incoming).repartition(5).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    exact_rows = (
+        stream.withColumn("h", F.md5("text"))
+        .join(exist_h, "h", "left")
+        .select(
+            "doc_id",
+            F.lit("exact").alias("kind"),
+            F.coalesce("ref", F.lit(-1)).alias("ref"),
+        )
+    )
+    near_rows = (
+        minhash_bands_df(stream, banding)
+        .join(ex_capped, "band_key")
+        .select("doc_id", F.lit("near").alias("kind"), F.col("ref"))
+    )
+    with _scoped_conf(spark, _STREAM_CONFS):
+        run_available_now(exact_rows.unionByName(near_rows), out, ckpt)
+    emitted = spark.read.parquet(out)
+    agg = emitted.groupBy("doc_id").agg(
+        F.min(F.when(F.col("kind") == "exact", F.col("ref"))).alias("e"),
+        F.min(F.when(F.col("kind") == "near", F.col("ref"))).alias("nr"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            F.col("e").alias("exact_dup_of"),  # one exact row per doc
+            F.coalesce("nr", F.lit(-1)).alias("near_dup_of"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("exact_dup_of") == -1) & (F.col("near_dup_of") == -1),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "streaming_windowed_event_counts": streaming_windowed_event_counts,
     "streaming_dedup_first_seen": streaming_dedup_first_seen,
     "streaming_sessionize": streaming_sessionize,
     "streaming_click_purchase_join": streaming_click_purchase_join,
+    "streaming_incremental_dedup": streaming_incremental_dedup,
     # rows-only (extraction has no SQL oracle; equality vs the batch
     # path is test-asserted)
     "streaming_extract_spans": streaming_extract_spans,
@@ -719,9 +805,15 @@ QUERIES = {
 # oracle: same gap, same aggregates, same column names
 from ..operators.relational import SESSIONIZE_SQL as _SESSIONIZE_SQL  # noqa: E402
 
+from ..operators.dedup import DEDUP_INCREMENTAL_SQL as _INCR_SQL  # noqa: E402
+
 ORACLES = {
     "streaming_windowed_event_counts": STREAMING_WINDOWED_SQL,
     "streaming_dedup_first_seen": STREAMING_DEDUP_SQL,
     "streaming_sessionize": _SESSIONIZE_SQL,
     "streaming_click_purchase_join": STREAMING_SS_JOIN_SQL,
+    # the batch incremental-dedup oracle IS the streaming oracle:
+    # stream-static joins are stateless, so the drained result equals
+    # the batch op row-for-row
+    "streaming_incremental_dedup": _INCR_SQL,
 }
