@@ -762,3 +762,35 @@ def test_pii_scrub_planted_corpus(spark, tmp_path):
     want = [tuple(r) for r in con.sql(PII_SCRUB_SQL).fetchall()]
     con.close()
     assert got == want
+
+
+def test_pack_slices_large_clustered_ids(spark):
+    """ADVICE r5 regression pin: timestamp-like clustered BIGINT doc
+    ids where key div span exceeds 2^31 -- an INT pid cast would crash
+    under ANSI mode (or silently wrap and corrupt the prefix offsets).
+    The committed corpora (small ids) and the xxhash64 pipeline path
+    (full-range span) never hit this window."""
+    from boilerpipe_coffee_spark.operators.textstats import pack_slices_df
+
+    base = 1_700_000_000_000_000  # microsecond-epoch-like, ~2^50.6
+    rows = [
+        (base + i, ["w%d" % j for j in range(5 + (i % 4))])
+        for i in range(97)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, toks array<string>"
+    )
+    out = sorted(
+        (r.doc_id, r.bin_id, r.tok_start, r.tok_end)
+        for r in pack_slices_df(docs, window=16).collect()
+    )
+    # local reference: cumulative offsets in doc_id order
+    s, want = 0, []
+    for doc_id, toks in rows:
+        n = len(toks)
+        for b in range(s // 16, (s + n - 1) // 16 + 1):
+            want.append(
+                (doc_id, b, max(s, b * 16) - s, min(s + n, (b + 1) * 16) - s)
+            )
+        s += n
+    assert out == sorted(want)
