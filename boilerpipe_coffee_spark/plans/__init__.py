@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
+        # local mode = one JVM for driver AND executors; the Spark
+        # default heap (1g) OOMs the first real shuffle at rehearsal
+        # scale (r6: the 200k-vector verify join died in a 1g heap).
+        # Must be set at session creation -- it configures the JVM
+        # launch, not a runtime conf.
+        .config("spark.driver.memory", "12g")
         # Shuffle/broadcast codec stays on the lz4 DEFAULT.  r6
         # measured both ways (BASELINE.md): zstd wins ~9% on the
         # staged path's one big text exchange, but costs the
