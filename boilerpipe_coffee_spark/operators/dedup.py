@@ -929,15 +929,19 @@ def dedup_incremental(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
         "doc_id", "exact_dup_of"
     )
 
-    bands = minhash_bands_df(docs, minhash_banding(docs.count()))
+    # band each SIDE separately (filter before the signature stage):
+    # a single full-table bands frame consumed by both branches would
+    # run the Arrow sig pass over every doc twice -- the filters do
+    # not push through mapInPandas
+    banding = minhash_banding(docs.count())
     ex_capped = (
-        bands.filter(~incoming)
+        minhash_bands_df(docs.filter(~incoming), banding)
         .withColumn("bn", F.count("*").over(Window.partitionBy("band_key")))
         .filter(F.col("bn") <= bucket_cap)
         .select(F.col("doc_id").alias("ex_id"), "band_key")
     )
     near = (
-        bands.filter(incoming)
+        minhash_bands_df(docs.filter(incoming), banding)
         .join(ex_capped, "band_key")
         .groupBy("doc_id")
         .agg(F.min("ex_id").alias("near_dup_of"))

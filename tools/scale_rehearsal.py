@@ -43,9 +43,10 @@ def _spark():
     return get_spark()
 
 
-def _compare(sdf, con, sql):
+def _compare(sdf, con, sql, t0=None):
     s_cols = sdf.columns
-    t0 = time.time()
+    if t0 is None:
+        t0 = time.time()
     s_rows = [tuple(r) for r in sdf.collect()]
     spark_sec = time.time() - t0
     t0 = time.time()
@@ -120,14 +121,17 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
             "minhash_banding": [mb, mr], "emb_banding": [eb, et],
         }
         try:
+            # time from the fn() call: iterative ops (dedup_clusters)
+            # do their work in EAGER checkpoints during plan
+            # construction, so timing only the action would hide it
+            t0 = time.time()
             sdf = fn(spark, d)
             if skip_oracle:
-                t0 = time.time()
                 rec["spark_rows"] = sdf.count()
                 rec["spark_sec"] = round(time.time() - t0, 2)
                 rec["oracle_skipped"] = True
             else:
-                rec.update(_compare(sdf, con, sql))
+                rec.update(_compare(sdf, con, sql, t0))
             if name in ("dedup_minhash_lsh", "dedup_embedding_lsh_pairs"):
                 truth = doc_truth if name.startswith("dedup_minhash") else vec_truth
                 pairs_df = fn(spark, d)
