@@ -964,7 +964,12 @@ def dedup_incremental(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     )
 
 
-def _incremental_sql(n_rows: int | None = None) -> str:
+def _incremental_sql(
+    n_rows: int | None = None, bucket_cap: int = BUCKET_CAP
+) -> str:
+    # bucket_cap is threaded like n_rows (ADVICE r6): any test that
+    # runs dedup_incremental with a non-default cap must regenerate
+    # its oracle with the SAME cap or parity silently breaks
     return f"""
 WITH {_minhash_pairs_ctes(n_rows)},
 ex_side AS (
@@ -974,7 +979,7 @@ ex_side AS (
     SELECT doc_id, band_key,
            count(*) OVER (PARTITION BY band_key) AS bn
     FROM ex_side)
-  WHERE bn <= {BUCKET_CAP}
+  WHERE bn <= {bucket_cap}
 ), inc_side AS (
   SELECT doc_id, band_key FROM stacked WHERE doc_id % {INCR_SPLIT_MOD} = 0
 ), near AS (

@@ -31,6 +31,7 @@ def get_spark(
     arrow_batch: int = 1024,
     extra_conf: dict | None = None,
     periodic_gc: str | None = "30s",
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """``periodic_gc``: ContextCleaner reclaims shuffle files and
     broadcasts only after a driver GC; the Spark default (30 min)
@@ -59,8 +60,16 @@ def get_spark(
         # default heap (1g) OOMs the first real shuffle at rehearsal
         # scale (r6: the 200k-vector verify join died in a 1g heap).
         # Must be set at session creation -- it configures the JVM
-        # launch, not a runtime conf.
-        .config("spark.driver.memory", "12g")
+        # launch, not a runtime conf -- and therefore ONLY applies to
+        # pyspark-launched local sessions: under spark-submit the
+        # driver JVM is already up, so pass --driver-memory there.
+        # Override order: explicit param > SPARK_GRAFT_DRIVER_MEM env
+        # > 12g default (hosts with <12 GB should set the env).
+        .config(
+            "spark.driver.memory",
+            driver_memory
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+        )
         # Shuffle/broadcast codec stays on the lz4 DEFAULT.  r6
         # measured both ways (BASELINE.md): zstd wins ~9% on the
         # staged path's one big text exchange, but costs the

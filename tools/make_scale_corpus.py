@@ -46,22 +46,16 @@ NEAR_DUP_DOC_FRAC = 0.005
 NEAR_DUP_VEC_FRAC = 0.015
 
 
-def planted_pairs(n: int, frac: float) -> list[tuple[int, int]]:
-    """The deterministic (src, tgt) = (tgt-1, tgt) id pairs the
-    generators plant -- ground truth for recall measurement in
-    tools/scale_rehearsal.py."""
-    n_planted = int(n * frac)
-    step = max(n // (n_planted + 1), 1)
-    out = []
-    for j in range(n_planted):
-        tgt = (j + 1) * step
-        if tgt >= n:
-            break
-        out.append((tgt - 1, tgt))
-    return out
-
-
-def make_documents(n_docs: int, seed: int = 42) -> pa.Table:
+def make_documents(
+    n_docs: int, seed: int = 42
+) -> tuple[pa.Table, list[tuple[int, int]]]:
+    """Returns ``(table, planted)`` where ``planted`` is the list of
+    (src, tgt) near-dup pairs ACTUALLY written -- recorded at the
+    plant site itself (ADVICE r6: a separate re-derivation of the
+    placement arithmetic silently skipped the ``len(words) >= 8``
+    guard, which only happened to never fire at the current length
+    distribution).  Ground truth for recall measurement flows from
+    here through the ``_PLANTED.json`` sidecar."""
     rng = np.random.default_rng(seed)
     lengths = rng.integers(10, 101, size=n_docs)
     texts: list[str] = []
@@ -72,6 +66,7 @@ def make_documents(n_docs: int, seed: int = 42) -> pa.Table:
     # token positions rewritten (deterministic positions/words)
     n_planted = int(n_docs * NEAR_DUP_DOC_FRAC)
     step = max(n_docs // (n_planted + 1), 1)
+    planted: list[tuple[int, int]] = []
     for j in range(n_planted):
         tgt = (j + 1) * step
         src = tgt - 1
@@ -82,8 +77,9 @@ def make_documents(n_docs: int, seed: int = 42) -> pa.Table:
             words[2] = vocab[rng.integers(0, len(VOCAB))]
             words[-3] = vocab[rng.integers(0, len(VOCAB))]
             texts[tgt] = " ".join(words)
+            planted.append((src, tgt))
     langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
-    return pa.table(
+    table = pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs), pa.int64()),
             "text": pa.array(texts, pa.string()),
@@ -94,14 +90,22 @@ def make_documents(n_docs: int, seed: int = 42) -> pa.Table:
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),
         }
     )
+    return table, planted
 
 
-def make_embeddings(n_vecs: int, seed: int = 43) -> pa.Table:
+def make_embeddings(
+    n_vecs: int, seed: int = 43
+) -> tuple[pa.Table, list[tuple[int, int, float]]]:
+    """Returns ``(table, planted)``; each planted entry is
+    ``(src, tgt, cosine)`` with the EXACT post-normalization cosine --
+    recorded at the plant site so per-band recall can be stratified
+    without re-deriving the placement (ADVICE r6)."""
     rng = np.random.default_rng(seed)
     v = rng.standard_normal((n_vecs, DIM))
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     n_planted = int(n_vecs * NEAR_DUP_VEC_FRAC)
     step = max(n_vecs // (n_planted + 1), 1)
+    planted: list[tuple[int, int, float]] = []
     for j in range(n_planted):
         tgt = (j + 1) * step
         src = tgt - 1
@@ -118,8 +122,9 @@ def make_embeddings(n_vecs: int, seed: int = 43) -> pa.Table:
         g = rng.standard_normal(DIM)
         p = v[src] + eps * (g / np.linalg.norm(g))
         v[tgt] = p / np.linalg.norm(p)
+        planted.append((src, tgt, float(v[src] @ v[tgt])))
     labels = rng.integers(0, 10, size=n_vecs)
-    return pa.table(
+    table = pa.table(
         {
             "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
             "embedding": pa.array(
@@ -129,23 +134,44 @@ def make_embeddings(n_vecs: int, seed: int = 43) -> pa.Table:
             "label": pa.array(labels.astype(np.int32), pa.int32()),
         }
     )
+    return table, planted
 
 
-CORPUS_VERSION = "v2"  # bump when generation changes; stale dirs regenerate
+# v3: identical table bytes to v2 (same rng draws), adds the
+# _PLANTED.json ground-truth sidecar (pairs recorded at the plant
+# site, with exact cosines for the embedding pairs)
+CORPUS_VERSION = "v3"
 
 
 def write_corpus(out_dir: str, n_docs: int, n_vecs: int, seed: int = 42):
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(
-        make_documents(n_docs, seed), os.path.join(out_dir, "documents.parquet")
-    )
-    pq.write_table(
-        make_embeddings(n_vecs, seed + 1),
-        os.path.join(out_dir, "embeddings.parquet"),
-    )
+    docs, doc_pairs = make_documents(n_docs, seed)
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+    vecs, vec_pairs = make_embeddings(n_vecs, seed + 1)
+    pq.write_table(vecs, os.path.join(out_dir, "embeddings.parquet"))
+    with open(os.path.join(out_dir, "_PLANTED.json"), "w") as f:
+        json.dump(
+            {
+                "doc_pairs": [list(p) for p in doc_pairs],
+                "vec_pairs": [
+                    [s, t, round(c, 6)] for s, t, c in vec_pairs
+                ],
+            },
+            f,
+        )
     with open(os.path.join(out_dir, "_VERSION"), "w") as f:
         f.write(CORPUS_VERSION)
     return out_dir
+
+
+def read_planted(out_dir: str) -> dict:
+    """Load the ground-truth sidecar written by :func:`write_corpus`."""
+    import json
+
+    with open(os.path.join(out_dir, "_PLANTED.json")) as f:
+        return json.load(f)
 
 
 def corpus_current(out_dir: str) -> bool:

@@ -100,18 +100,20 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
         ("emb_bucket_stats", similarity.emb_bucket_stats,
          similarity._emb_bucket_stats_sql(n_rows=n_vecs)),
     ]
-    # planted-pair ground truth from the generator's deterministic
-    # (tgt-1, tgt) placement -- lets the rehearsal report recall, not
-    # just parity (a banding policy could pass parity while losing
-    # every true near-dup)
-    from make_scale_corpus import (
-        NEAR_DUP_DOC_FRAC,
-        NEAR_DUP_VEC_FRAC,
-        planted_pairs,
-    )
+    # planted-pair ground truth from the generator's _PLANTED.json
+    # sidecar -- the pairs ACTUALLY written, recorded at the plant
+    # site (ADVICE r6), with exact cosines for the embedding pairs so
+    # recall can be stratified by planted-similarity band (VERDICT r6
+    # task 4) -- a banding policy could pass parity while losing every
+    # true near-dup, and an aggregate recall could hide losing the
+    # high-similarity band that real web near-dups live in
+    from make_scale_corpus import read_planted
 
-    doc_truth = planted_pairs(n_docs, NEAR_DUP_DOC_FRAC)
-    vec_truth = planted_pairs(n_vecs, NEAR_DUP_VEC_FRAC)
+    sidecar = read_planted(d)
+    doc_truth = [tuple(p) for p in sidecar["doc_pairs"]]
+    vec_truth = [(s, t) for s, t, _ in sidecar["vec_pairs"]]
+    vec_cosine = {(s, t): c for s, t, c in sidecar["vec_pairs"]}
+    COS_BANDS = [(0.55, 0.7), (0.7, 0.9), (0.9, 1.0000001)]
 
     out = []
     for name, fn, sql in families:
@@ -141,6 +143,19 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
                 }
                 hits = sum(p in got for p in truth)
                 rec["planted_recall"] = [hits, len(truth)]
+                if name == "dedup_embedding_lsh_pairs":
+                    # per-band recall: bin planted pairs by their
+                    # exact planted cosine; the >=0.9 band is the one
+                    # real web near-dups occupy
+                    bands = {}
+                    for lo, hi in COS_BANDS:
+                        in_band = [
+                            p for p in truth if lo <= vec_cosine[p] < hi
+                        ]
+                        bands[f"[{lo},{min(hi, 1.0)})"] = [
+                            sum(p in got for p in in_band), len(in_band)
+                        ]
+                    rec["recall_by_cosine_band"] = bands
             if name.endswith("_stats"):
                 rec["stats"] = {
                     k: (v.item() if hasattr(v, "item") else v)
