@@ -254,6 +254,20 @@ DEMOTED = [
     #                               the BlockProximityFusion evidence)
     "fuse_adjacent_equal",
     "sessionize_native_window",
+    # Round-7 rotation (VERDICT r6 task 3): two more demotions free
+    # window slots for the two most load-bearing r6 EXTRA rows
+    # (dedup_incremental = recurring-crawl ingest, pii_scrub =
+    # compliance).  Both demotions have strictly stronger in-window
+    # siblings:
+    #   embedding_cosine_topk -> dedup_embedding_lsh_pairs +
+    #                            ann_ivf_trained_topk (the brute-force
+    #                            all-pairs baseline the scale paths
+    #                            are verified against in tests)
+    #   ann_lsh_buckets       -> dedup_embedding_lsh_pairs (same
+    #                            hyperplane machinery, bucket-level
+    #                            output only)
+    "embedding_cosine_topk",
+    "ann_lsh_buckets",
 ]
 # Promoted into the window (r5: skew handling + chunk
 # materialization; r6: the training-sequence packing path and the
@@ -263,6 +277,9 @@ PROMOTED = [
     "doc_chunks",
     "pack_concat_split",
     "dedup_minhash_verified",
+    # r7: the recurring-ingest probe and the compliance scrub
+    "dedup_incremental",
+    "pii_scrub",
 ]
 # Oracle-backed queries added AFTER the r4 window was frozen: they sit
 # past the cap (checked by the full test suite, which parametrizes
@@ -271,8 +288,6 @@ EXTRA = [
     "events_json_props",
     "stratified_sample",
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
-    "pii_scrub",  # r5 redaction counts + scrubbed-text hash (6 classes)
-    "dedup_incremental",  # r6 new-batch-vs-existing-corpus dedup probe
     "streaming_incremental_dedup",  # r6 stream-static join twin
 ]
 

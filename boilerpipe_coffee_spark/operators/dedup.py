@@ -1008,6 +1008,150 @@ DEDUP_INCREMENTAL_SQL = _incremental_sql()
 
 
 # ------------------------------------------------------------------ #
+# materialized incremental-dedup index: the production form of the     #
+# probe above.  Build ONCE per corpus version (content-hash + capped   #
+# band tables, bucketed on their probe join keys), then dedup each     #
+# incoming crawl batch against it with two bucketed joins.             #
+# ------------------------------------------------------------------ #
+
+DEDUP_INDEX_META = "index_meta.json"
+
+
+def _index_tag(index_dir: str) -> str:
+    import hashlib
+    import os
+
+    return hashlib.md5(os.path.abspath(index_dir).encode()).hexdigest()[:8]
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    index_dir: str,
+    banding: "tuple[int, int] | None" = None,
+    bucket_cap: int = BUCKET_CAP,
+    n_buckets: int = 8,
+) -> dict:
+    """Materialize the dedup index for an EXISTING (already
+    deduplicated) corpus -- the thing a recurring-crawl operator
+    builds once per corpus version and probes per batch:
+
+    - ``<index_dir>/hashes``: (h = md5(text), exact_dup_of = min
+      doc_id) -- bucketed on ``h``.
+    - ``<index_dir>/bands``:  (ex_id, band_key) minhash band table
+      with the skew cap ALREADY applied (a flooded corpus bucket is
+      boilerplate the exact pass collapsed; capping at build time
+      means every probe skips it for free) -- bucketed on
+      ``band_key``.
+    - ``<index_dir>/index_meta.json``: the banding / cap / bucket
+      layout the probe side must reproduce -- signatures only match
+      if the incoming batch is banded with the SAME (b, r), so the
+      policy is frozen in the index, not re-derived per probe.
+
+    ``banding`` defaults to :func:`minhash_banding` on the indexed
+    corpus count.  The bucketed layout makes every later probe join
+    shuffle ONLY the incoming batch (the index side scans
+    pre-partitioned; see tests/test_plans.py).  At 100 TB the index
+    is a fraction of corpus size (one 16-byte hash + b band keys per
+    doc) and is rebuilt only when the corpus version rolls."""
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from ..sources import write_bucketed
+
+    if banding is None:
+        banding = minhash_banding(docs.count())
+    tag = _index_tag(index_dir)
+    hashes = (
+        docs.select(F.col("doc_id"), F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_dup_of"))
+    )
+    write_bucketed(
+        hashes, f"bpc_dedup_idx_h_{tag}", os.path.join(index_dir, "hashes"),
+        "h", n_buckets=n_buckets,
+    )
+    bands = (
+        minhash_bands_df(docs.select("doc_id", "text"), banding)
+        .withColumn("bn", F.count("*").over(Window.partitionBy("band_key")))
+        .filter(F.col("bn") <= bucket_cap)
+        .select(F.col("doc_id").alias("ex_id"), "band_key")
+    )
+    write_bucketed(
+        bands, f"bpc_dedup_idx_b_{tag}", os.path.join(index_dir, "bands"),
+        "band_key", n_buckets=n_buckets,
+    )
+    meta = {
+        "banding": list(banding),
+        "bucket_cap": bucket_cap,
+        "n_buckets": n_buckets,
+    }
+    with open(os.path.join(index_dir, DEDUP_INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def probe_dedup_index(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """Dedup an incoming batch against a :func:`build_dedup_index`
+    index: one row per incoming doc with ``exact_dup_of`` /
+    ``near_dup_of`` (minimum existing doc_id matched, -1 if none) and
+    ``keep`` (both -1) -- the same output contract as the
+    ``dedup_incremental`` driver query, produced by two joins that are
+    linear in batch + index size.  Intra-batch duplicates are NOT
+    resolved here (the standard ops' job on the kept batch).
+
+    Both probes join against BUCKETED index tables re-registered via
+    :func:`..sources.register_bucketed`: only the incoming side
+    shuffles (asymmetric join -- the index side's exchange was paid
+    once at build; plan-asserted in tests/test_plans.py)."""
+    import json
+    import os
+
+    from ..sources import register_bucketed
+
+    with open(os.path.join(index_dir, DEDUP_INDEX_META)) as f:
+        meta = json.load(f)
+    tag = _index_tag(index_dir)
+    exist_h = register_bucketed(
+        spark, f"bpc_dedup_idx_h_{tag}", os.path.join(index_dir, "hashes"),
+        "h", n_buckets=meta["n_buckets"],
+    )
+    ex_bands = register_bucketed(
+        spark, f"bpc_dedup_idx_b_{tag}", os.path.join(index_dir, "bands"),
+        "band_key", n_buckets=meta["n_buckets"],
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5("text").alias("h"))
+        .join(exist_h, "h", "left")
+        .select("doc_id", "exact_dup_of")
+    )
+    near = (
+        minhash_bands_df(
+            new_docs.select("doc_id", "text"), tuple(meta["banding"])
+        )
+        .join(ex_bands, "band_key")
+        .groupBy("doc_id")
+        .agg(F.min("ex_id").alias("near_dup_of"))
+    )
+    # sentinel typed to the caller's doc_id dtype: pipeline corpora use
+    # STRING doc-XXXX ids (the r5 lesson -- every dedup op must work on
+    # BOTH id types), driver corpora BIGINT; a bare int lit would force
+    # a string->bigint cast that throws on the first real id
+    sentinel = F.lit(-1).cast(new_docs.schema["doc_id"].dataType)
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("exact_dup_of", sentinel).alias("exact_dup_of"),
+        F.coalesce("near_dup_of", sentinel).alias("near_dup_of"),
+        (
+            F.col("exact_dup_of").isNull() & F.col("near_dup_of").isNull()
+        ).alias("keep"),
+    )
+
+
+# ------------------------------------------------------------------ #
 # duplicate-cluster resolution: candidate pairs -> connected           #
 # components -> canonical keep-set                                     #
 # ------------------------------------------------------------------ #

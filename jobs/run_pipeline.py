@@ -13,6 +13,12 @@ Stages (the composition a pretraining corpus build runs):
 2. FEATURES  -- content text reassembly, token count, duplicate-bigram
    fraction (repetition gate), md5 content hash: pure columnar over
    the extracted table.
+2a. INCREMENTAL (--incremental PRIOR_OUT) -- probe the batch against
+   the prior corpus version's materialized dedup index (content-hash
+   + capped band tables, bucketed on the probe join keys; built by a
+   prior run's --emit-dedup-index): docs the existing corpus already
+   has are dropped before any further work.  Both probes shuffle
+   ONLY the incoming batch.
 2b. QUALITY  -- optional data-driven gate (--drop-bottom-quality-pct
    X): composite quality score per doc, threshold picked by the
    mergeable histogram sketch (<=1000-key shuffle at any corpus
@@ -66,6 +72,20 @@ def main() -> None:
     )
     ap.add_argument("--no-near-dup", action="store_true",
                     help="stop at exact dedup (skip stage 4)")
+    ap.add_argument(
+        "--emit-dedup-index", action="store_true",
+        help="materialize the kept corpus's dedup index (content-hash "
+        "+ capped minhash band tables, bucketed on their probe join "
+        "keys) -> <out>/dedup_index -- build once per corpus version, "
+        "probe per incoming crawl via --incremental",
+    )
+    ap.add_argument(
+        "--incremental", metavar="PRIOR_OUT", default=None,
+        help="dedup the incoming batch against a prior run's "
+        "<PRIOR_OUT>/dedup_index BEFORE the intra-batch stages: docs "
+        "matching the existing corpus (exact hash or banded-LSH "
+        "probe) are dropped, only novel docs flow on",
+    )
     ap.add_argument(
         "--checkpoint-dir", default=None,
         help="reliable (cluster-visible) checkpoint dir for the "
@@ -126,6 +146,47 @@ def main() -> None:
         max_dup_bigram=args.max_dup_bigram,
     )
 
+    # stage 2a (optional): incremental dedup against an EXISTING
+    # corpus's materialized index -- the recurring-crawl shape: drop
+    # docs the prior corpus version already has (exact hash or banded
+    # LSH probe, both bucketed joins that shuffle only this batch)
+    # BEFORE spending gates/near-dup work on them
+    incr = None
+    if args.incremental:
+        from boilerpipe_coffee_spark.operators.dedup import (
+            probe_dedup_index,
+        )
+
+        index_dir = os.path.join(args.incremental, "dedup_index")
+        decisions = probe_dedup_index(
+            spark, features.select("doc_id", "text"), index_dir
+        ).persist()
+        # sentinel is typed to the corpus doc_id dtype (string ids ->
+        # "-1"); compare with the same cast, never a bare int literal
+        sent = F.lit(-1).cast(decisions.schema["exact_dup_of"].dataType)
+        row = decisions.agg(
+            F.sum(F.when(F.col("exact_dup_of") != sent, 1).otherwise(0))
+            .alias("n_exact"),
+            F.sum(
+                F.when(
+                    (F.col("exact_dup_of") == sent)
+                    & (F.col("near_dup_of") != sent),
+                    1,
+                ).otherwise(0)
+            ).alias("n_near"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_novel"),
+        ).collect()[0]
+        incr = {
+            "incr_exact_dup": int(row.n_exact or 0),
+            "incr_near_dup": int(row.n_near or 0),
+            "incr_novel": int(row.n_novel or 0),
+        }
+        features = features.join(
+            decisions.filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+
     # stage 2b: data-driven quality gate -- the feature stage feeds
     # multiple consumers from here on, so persist before the gate's
     # histogram action
@@ -175,8 +236,24 @@ def main() -> None:
     )
     if persisted is not None:
         persisted.unpersist()
+    if incr is not None:
+        decisions.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
+
+    # corpus-version dedup index over the KEPT set (the "existing
+    # corpus" the next incremental ingest probes)
+    dedup_index_dir = None
+    if args.emit_dedup_index:
+        from boilerpipe_coffee_spark.operators.dedup import (
+            build_dedup_index,
+        )
+
+        dedup_index_dir = os.path.join(args.output, "dedup_index")
+        build_dedup_index(
+            spark.read.parquet(training_dir).select("doc_id", "text"),
+            dedup_index_dir,
+        )
 
     # stage 5 (optional): materialized training chunks + media features
     n_chunks = n_media = media_quarantined = None
@@ -232,6 +309,10 @@ def main() -> None:
     }
     if args.emit_chunks:
         summary["chunks_table"] = chunks_table
+    if incr is not None:
+        summary.update(incr)
+    if dedup_index_dir is not None:
+        summary["dedup_index"] = dedup_index_dir
     if exact_kept is not None:
         summary["exact_kept"] = exact_kept
         summary["near_dup_dropped"] = exact_kept - kept

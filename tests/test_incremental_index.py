@@ -1,0 +1,149 @@
+"""Materialized incremental-dedup index (round 7, VERDICT r6 task 2):
+build_dedup_index / probe_dedup_index and the run_pipeline
+--emit-dedup-index / --incremental job modes.
+
+The index is the production form of the ``dedup_incremental`` driver
+query: content-hash + capped minhash band tables materialized ONCE per
+corpus version (bucketed on their probe join keys), probed per
+incoming crawl batch with joins that shuffle only the batch side.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+
+from pyspark.sql import functions as F
+
+from boilerpipe_coffee_spark.operators.dedup import (
+    INCR_SPLIT_MOD,
+    build_dedup_index,
+    dedup_incremental,
+    minhash_banding,
+    minhash_bands_df,
+    probe_dedup_index,
+)
+
+SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JOB = os.path.join(REPO, "jobs", "run_pipeline.py")
+
+
+def test_probe_matches_driver_query(spark, tmp_path_factory):
+    """Index build + probe over the same existing/incoming split must
+    reproduce the ``dedup_incremental`` driver rows EXACTLY -- the job
+    mode and the oracle-checked query cannot drift."""
+    d = str(tmp_path_factory.mktemp("dix"))
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    n = docs.count()
+    existing = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    incoming = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    # the driver query derives banding from the FULL table count;
+    # mirror it (both land legacy at this scale, but be explicit)
+    build_dedup_index(
+        existing.select("doc_id", "text"), d, banding=minhash_banding(n)
+    )
+    probe = probe_dedup_index(spark, incoming.select("doc_id", "text"), d)
+    got = sorted(tuple(r) for r in probe.collect())
+    want = sorted(
+        tuple(r)
+        for r in dedup_incremental(spark, SF)
+        .select("doc_id", "exact_dup_of", "near_dup_of", "keep")
+        .collect()
+    )
+    assert got == want
+
+
+def test_band_probe_plan_is_asymmetric(spark, tmp_path_factory):
+    """The band probe join must scan the index side BUCKETED (no
+    re-shuffle of the existing corpus -- its exchange was paid once at
+    build) and shuffle only the incoming batch: exactly ONE Exchange
+    in the join plan, with the bucketed scan visible."""
+    d = str(tmp_path_factory.mktemp("dixplan"))
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    existing = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0)
+    incoming = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == 0)
+    meta = build_dedup_index(existing.select("doc_id", "text"), d)
+    from boilerpipe_coffee_spark.operators.dedup import _index_tag
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ex_bands = spark.table(f"bpc_dedup_idx_b_{_index_tag(d)}")
+        near = minhash_bands_df(
+            incoming.select("doc_id", "text"), tuple(meta["banding"])
+        ).join(ex_bands, "band_key")
+        plan = near._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+        assert near.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ------------------------------------------------------------------ #
+# job-level e2e: corpus v1 emits the index, batch v2 probes it         #
+# ------------------------------------------------------------------ #
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_job(*args):
+    proc = subprocess.run(
+        [sys.executable, JOB, *args],
+        cwd=REPO, capture_output=True, text=True, timeout=900, env=_env(),
+    )
+    lines = [
+        l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+    ]
+    assert lines, (
+        f"no summary JSON; rc={proc.returncode} "
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    return json.loads(lines[-1])
+
+
+def test_pipeline_incremental_e2e(tmp_path_factory):
+    """v1 builds the corpus + index; v2 ingests the IDENTICAL corpus
+    incrementally: every v1-kept doc must match the index exactly and
+    a full re-crawl shrinks to (almost) nothing -- the near-fixed
+    point of a repeated crawl (see the pinned-values comment for the
+    one transitive-cluster exception)."""
+    v1 = str(tmp_path_factory.mktemp("incr_v1"))
+    v2 = str(tmp_path_factory.mktemp("incr_v2"))
+    s1 = _run_job(
+        "--synth", "200", "--output", v1, "--buckets", "4",
+        "--emit-dedup-index",
+    )
+    assert s1["dedup_index"] == os.path.join(v1, "dedup_index")
+    assert os.path.exists(
+        os.path.join(v1, "dedup_index", "index_meta.json")
+    )
+    s2 = _run_job(
+        "--synth", "200", "--output", v2, "--buckets", "4",
+        "--incremental", v1,
+    )
+    # every v1 keeper reappears verbatim in the v2 batch -> exact hit
+    # (non-canonical twins of kept canonicals would also exact-hit)
+    assert s2["incr_exact_dup"] >= s1["kept"]
+    # only docs the probe called novel reach the intra-batch stages
+    assert s2["exact_kept"] <= s2["incr_novel"]
+    # deterministic corpus -> pinned partition of the 187 feature docs
+    # (200 synth - 12 quarantined - 1 empty): 37 exact (== the v1
+    # keep-set), 98 near (band-match against a keeper), 52 novel
+    # (v1 gate-failures, which v2's own gates re-drop).  kept == 1,
+    # NOT 0: one v1 cluster NON-keeper was connected to its keeper
+    # only TRANSITIVELY (A-B, B-C components edge), so the single-hop
+    # band probe cannot see it -- the expected semantic gap between
+    # one-shot probing and transitive components, bounded by cluster
+    # diameter.
+    assert s2["incr_exact_dup"] == 37
+    assert s2["incr_near_dup"] == 98
+    assert s2["incr_novel"] == 52
+    assert s2["kept"] == 1
