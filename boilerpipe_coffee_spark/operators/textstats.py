@@ -1052,6 +1052,31 @@ def pii_scrub(spark, sf_dir):
     return docs.select(*cols).orderBy("doc_id")
 
 
+def scrub_pii_df(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """DataFrame-level redaction stage (round 7): replace every
+    ``PII_CLASSES`` match in ``text_col`` with its placeholder token
+    (applied in the fixed class order -- the SAME chain the
+    ``pii_scrub`` driver query hashes) and append per-class match
+    counts ``n_<class>`` measured on the ORIGINAL text.  Pure
+    columnar regexp ops, JVM-side, zero shuffle -- safe to insert in
+    front of any sink at any corpus size.  Consumed by
+    ``jobs/run_pipeline.py --scrub-pii`` to scrub the keep-set before
+    chunking/packing."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_CLASSES:
+        counts.append(
+            F.regexp_count(text_col, F.lit(pat))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    keep_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep_cols, *counts, scrubbed.alias(text_col)
+    )
+
+
 def _pii_scrub_sql() -> str:
     counts = ",\n       ".join(
         f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"

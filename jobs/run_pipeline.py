@@ -30,6 +30,9 @@ Stages (the composition a pretraining corpus build runs):
    stage-3 survivors: MinHash-LSH candidate pairs (banded, bucket-
    capped) -> connected components -> one keeper per near-dup cluster
    (--no-near-dup to skip) -> <out>/training/ parquet.
+4b. SCRUB (--scrub-pii) -- redact the shared PII_CLASSES chain from
+   the keep-set before it is materialized (training/chunks/packed all
+   carry redacted text); per-class totals in the summary JSON.
 5. OPTIONAL  -- --emit-chunks materializes context-window training
    chunks (token slices re-joined as chunk_text) -> <out>/chunks/;
    --with-media decodes media payloads (real PNG/WAV/GIF codecs,
@@ -102,6 +105,13 @@ def main() -> None:
                     "(deterministic shuffled order, zero padding "
                     "except the final bin) -> <out>/packed/ bucketed "
                     "on bin_id")
+    ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact PII/links (the shared PII_CLASSES chain) from "
+        "the kept docs BEFORE chunking/packing; per-class totals land "
+        "in the summary JSON and per-doc n_<class> counts in the "
+        "training table",
+    )
     ap.add_argument("--with-media", action="store_true",
                     help="decode media payloads from the extracted "
                     "corpus (PNG/WAV/GIF features) -> <out>/media/")
@@ -221,6 +231,15 @@ def main() -> None:
     # training/chunks (and their mutual join) plans exchange-free --
     # consumers in a fresh session re-attach the layout with
     # sources.register_bucketed(<table>, <dir>, "doc_id", N_OUT_BUCKETS)
+    # compliance pass: scrub the keep-set BEFORE it is materialized,
+    # so training/, chunks/ and packed/ all carry redacted text only
+    if args.scrub_pii:
+        from boilerpipe_coffee_spark.operators.textstats import (
+            scrub_pii_df,
+        )
+
+        training = scrub_pii_df(training)
+
     import hashlib
 
     from boilerpipe_coffee_spark.sources import write_bucketed
@@ -240,6 +259,18 @@ def main() -> None:
         decisions.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
+
+    pii_totals = None
+    if args.scrub_pii:
+        from boilerpipe_coffee_spark.operators.textstats import PII_CLASSES
+
+        row = spark.read.parquet(training_dir).agg(
+            *[
+                F.sum(f"n_{name}").alias(name)
+                for name, _, _ in PII_CLASSES
+            ]
+        ).collect()[0]
+        pii_totals = {name: int(row[name] or 0) for name, _, _ in PII_CLASSES}
 
     # corpus-version dedup index over the KEPT set (the "existing
     # corpus" the next incremental ingest probes)
@@ -313,6 +344,8 @@ def main() -> None:
         summary.update(incr)
     if dedup_index_dir is not None:
         summary["dedup_index"] = dedup_index_dir
+    if pii_totals is not None:
+        summary["pii_scrubbed"] = pii_totals
     if exact_kept is not None:
         summary["exact_kept"] = exact_kept
         summary["near_dup_dropped"] = exact_kept - kept
