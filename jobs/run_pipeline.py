@@ -141,11 +141,29 @@ def main() -> None:
     else:
         docs = read_interleaved(spark, args.input)
 
+    # per-stage wall clock: each tick closes the previous stage.  The
+    # near_dup tick matters most -- the components loop runs in EAGER
+    # checkpoints during plan construction, so its cost lands in the
+    # near_dup_keep() call itself, not in a later action (the r6
+    # rehearsal could not see it for exactly that reason).
+    import time
+
+    stage_sec: dict[str, float] = {}
+    _t = [time.time()]
+
+    def tick(name: str) -> None:
+        now = time.time()
+        stage_sec[name] = round(
+            stage_sec.get(name, 0.0) + now - _t[0], 2
+        )
+        _t[0] = now
+
     # stage 1: resumable extraction
     extract_dir = os.path.join(args.output, "extract")
     s1 = run_partitioned(
         spark, docs, extract_dir, args.extractor, n_buckets=args.buckets
     )
+    tick("extract")
 
     # stages 2-3: the SHARED feature/gate operator (same code the
     # driver-contract pretrain_pipeline query runs), keep-set filter
@@ -196,6 +214,7 @@ def main() -> None:
             "doc_id",
             "left_semi",
         )
+        tick("incremental_probe")
 
     # stage 2b: data-driven quality gate -- the feature stage feeds
     # multiple consumers from here on, so persist before the gate's
@@ -210,6 +229,7 @@ def main() -> None:
             features, args.drop_bottom_quality_pct
         )
         features = features.drop("quality", "passes_quality")
+        tick("quality_gate")
 
     # stage 4: near-dup keepers over the exact-dedup survivors
     if args.no_near_dup:
@@ -219,6 +239,7 @@ def main() -> None:
         exact_kept = None
     else:
         exact_kept = features.filter(F.col("keep")).count()
+        tick("exact_count")
         # exact_kept doubles as n_docs for the adaptive minhash
         # banding -- no extra pass over the survivors
         training = near_dup_keep(
@@ -226,6 +247,7 @@ def main() -> None:
         ).filter(
             F.col("keep_final")
         ).drop("is_canonical", "passes_gates", "keep", "keep_final")
+        tick("near_dup_components")
     # output tables land BUCKETED on doc_id (write_bucketed): pay the
     # partitioning shuffle once here so every downstream join against
     # training/chunks (and their mutual join) plans exchange-free --
@@ -253,6 +275,7 @@ def main() -> None:
         training, training_table, training_dir, "doc_id",
         n_buckets=N_OUT_BUCKETS,
     )
+    tick("training_write")
     if persisted is not None:
         persisted.unpersist()
     if incr is not None:
@@ -271,6 +294,7 @@ def main() -> None:
             ]
         ).collect()[0]
         pii_totals = {name: int(row[name] or 0) for name, _, _ in PII_CLASSES}
+    tick("post_counts")
 
     # corpus-version dedup index over the KEPT set (the "existing
     # corpus" the next incremental ingest probes)
@@ -298,6 +322,7 @@ def main() -> None:
             chunks_table, chunks_dir, "doc_id", n_buckets=N_OUT_BUCKETS,
         )
         n_chunks = spark.read.parquet(chunks_dir).count()
+        tick("chunks")
     packed_bins = None
     if args.pack_sequences:
         from boilerpipe_coffee_spark.operators.textstats import (
@@ -313,6 +338,7 @@ def main() -> None:
             packed_table, packed_dir, "bin_id", n_buckets=N_OUT_BUCKETS,
         )
         packed_bins = spark.read.parquet(packed_dir).count()
+        tick("packed")
     if args.with_media:
         from boilerpipe_coffee_spark.operators.multimodal import (
             decode_features,
@@ -326,11 +352,14 @@ def main() -> None:
         m = spark.read.parquet(media_dir)
         n_media = m.count()
         media_quarantined = m.filter(F.col("n_bytes").isNull()).count()
+        tick("media")
     totals = extracted.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("q"),
     ).collect()[0]
+    tick("totals")
     summary = {
+        "stage_sec": stage_sec,
         "buckets_run": s1["buckets_run"],
         "buckets_skipped": s1["buckets_skipped"],
         "extracted": int(totals.n),
