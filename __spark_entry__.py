@@ -289,6 +289,7 @@ EXTRA = [
     "stratified_sample",
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
     "streaming_incremental_dedup",  # r6 stream-static join twin
+    "dup_span_stats",  # r7 cross-doc duplicated-span pass
 ]
 
 

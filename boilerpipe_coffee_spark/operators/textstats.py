@@ -546,6 +546,111 @@ ORDER BY s.doc_id
 
 CONTAMINATION_SQL = _contamination_sql()
 
+DUP_SPAN_W = 12  # window width for cross-doc duplicated-span detection
+
+
+def dup_span_stats(spark, sf_dir):
+    """Cross-document duplicated-span detection: the substring-level
+    dedup pass between exact dedup and near-dup (the signal exact-hash
+    misses when only a paragraph is shared, and MinHash misses when
+    the shared span is a small fraction of both docs — boilerplate,
+    licenses, quoted passages).  A word-``DUP_SPAN_W``-gram window is
+    *duplicated* when it occurs in ≥2 DISTINCT documents; per doc we
+    report how many window positions are duplicated and how many
+    maximal contiguous runs (spans) they form.
+
+    Scale shape: ONE |tokens|-row shuffle keyed on the 60-bit
+    cross-engine gram hash (``h64`` — same cost class as the MinHash
+    signature pass), where the ≥2-distinct-docs test is
+    ``min(doc_id) != max(doc_id)`` — fully map-side combinable,
+    unlike a count-distinct — then a semi-join back and a per-doc
+    window for the gaps-and-islands span count.  Within-doc repeats
+    are deliberately NOT counted (that is ``repetition_stats``)."""
+    from pyspark.sql import Window
+
+    from ..functions import h64, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.expr(shingles(DUP_SPAN_W)).alias("sh"))
+    sized = base.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_windows")
+    )
+    ex = base.select(
+        "doc_id", F.posexplode("sh").alias("pos", "shingle")
+    ).select("doc_id", "pos", h64(F.col("shingle")).alias("g"))
+    dup = (
+        ex.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    agg = (
+        ex.join(dup, "g")
+        .select("doc_id", "pos")
+        .withColumn("isl", F.col("pos") - F.row_number().over(win))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.countDistinct("isl").alias("dup_spans"),
+        )
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        sized.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("dup_windows", zero).alias("dup_windows"),
+            F.round(
+                F.coalesce("dup_windows", zero)
+                / F.greatest("n_windows", F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+            F.coalesce("dup_spans", zero).alias("dup_spans"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_span_sql() -> str:
+    from ..functions import h64_duck, shingles_duck
+
+    # positions via the static-range join idiom (DuckDB here lacks
+    # WITH ORDINALITY and lateral range() binds — the doc_chunks
+    # oracle's pattern)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {shingles_duck(DUP_SPAN_W)} AS sh FROM documents
+), sized AS (
+  SELECT doc_id, len(sh)::BIGINT AS n_windows FROM base
+), ex AS (
+  SELECT b.doc_id, t.i AS pos, {h64_duck('b.sh[t.i]')} AS g
+  FROM base b JOIN range(1, 1000000) t(i) ON t.i <= len(b.sh)
+), dup AS (
+  SELECT g FROM ex GROUP BY g HAVING min(doc_id) <> max(doc_id)
+), isl AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS isl
+  FROM ex JOIN dup USING (g)
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS dup_windows,
+         count(DISTINCT isl)::BIGINT AS dup_spans
+  FROM isl GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_windows,
+       coalesce(a.dup_windows, 0)::BIGINT AS dup_windows,
+       round(coalesce(a.dup_windows, 0) / greatest(s.n_windows, 1), 4)
+         AS dup_frac,
+       coalesce(a.dup_spans, 0)::BIGINT AS dup_spans
+FROM sized s LEFT JOIN agg a ON s.doc_id = a.doc_id
+ORDER BY s.doc_id
+"""
+
+
+DUP_SPAN_SQL = _dup_span_sql()
+
 CONTEXT_LEN = 2048
 
 
@@ -1101,6 +1206,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "quality_histogram_quantiles": quality_histogram_quantiles,
     "contamination_check": contamination_check,
+    "dup_span_stats": dup_span_stats,
     "packing_stats": packing_stats,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1119,6 +1225,7 @@ ORACLES = {
     "pii_scrub": PII_SCRUB_SQL,
     "quality_histogram_quantiles": QUALITY_QUANTILES_SQL,
     "contamination_check": CONTAMINATION_SQL,
+    "dup_span_stats": DUP_SPAN_SQL,
     "packing_stats": PACKING_SQL,
     "top_terms": TOP_TERMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
