@@ -566,12 +566,28 @@ def dup_span_stats(spark, sf_dir):
     unlike a count-distinct — then a semi-join back and a per-doc
     window for the gaps-and-islands span count.  Within-doc repeats
     are deliberately NOT counted (that is ``repetition_stats``)."""
+    return dup_span_frac_df(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def dup_span_frac_df(
+    df: DataFrame, text_col: str = "text", w: int = None
+) -> DataFrame:
+    """DataFrame-level core of :func:`dup_span_stats`: per-doc
+    cross-document duplicated-window stats over an arbitrary
+    (doc_id, <text_col>) frame — shared by the driver query and the
+    pipeline ``--max-dup-span-frac`` boilerplate gate.  Works for
+    both int and string doc_ids (min/max distinct-docs test only
+    needs an ordering)."""
     from pyspark.sql import Window
 
     from ..functions import h64, shingles
 
-    docs = _t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.expr(shingles(DUP_SPAN_W)).alias("sh"))
+    w = w or DUP_SPAN_W
+    base = df.select("doc_id", F.col(text_col).alias("text")).select(
+        "doc_id", F.expr(shingles(w)).alias("sh")
+    )
     sized = base.select(
         "doc_id", F.size("sh").cast("bigint").alias("n_windows")
     )
@@ -609,7 +625,6 @@ def dup_span_stats(spark, sf_dir):
             ).alias("dup_frac"),
             F.coalesce("dup_spans", zero).alias("dup_spans"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -33,6 +33,12 @@ Stages (the composition a pretraining corpus build runs):
 4b. SCRUB (--scrub-pii) -- redact the shared PII_CLASSES chain from
    the keep-set before it is materialized (training/chunks/packed all
    carry redacted text); per-class totals in the summary JSON.
+4c. DUP-SPAN GATE (--max-dup-span-frac X) -- drop kept docs whose
+   fraction of cross-doc duplicated word-12-gram windows exceeds X
+   (textstats.dup_span_frac_df over the keep-set): the substring-
+   level boilerplate pass that exact dedup misses when only a
+   paragraph is shared and MinHash misses when the shared span is a
+   small fraction of both docs.
 5. OPTIONAL  -- --emit-chunks materializes context-window training
    chunks (token slices re-joined as chunk_text) -> <out>/chunks/;
    --with-media decodes media payloads (real PNG/WAV/GIF codecs,
@@ -105,6 +111,13 @@ def main() -> None:
                     "(deterministic shuffled order, zero padding "
                     "except the final bin) -> <out>/packed/ bucketed "
                     "on bin_id")
+    ap.add_argument(
+        "--max-dup-span-frac", type=float, default=None,
+        help="boilerplate gate: drop kept docs whose fraction of "
+        "cross-doc duplicated word-12-gram windows exceeds X "
+        "(computed over the keep-set, AFTER dedup, BEFORE scrub/"
+        "chunking)",
+    )
     ap.add_argument(
         "--scrub-pii", action="store_true",
         help="redact PII/links (the shared PII_CLASSES chain) from "
@@ -248,6 +261,27 @@ def main() -> None:
             F.col("keep_final")
         ).drop("is_canonical", "passes_gates", "keep", "keep_final")
         tick("near_dup_components")
+
+    # stage 4c: cross-doc duplicated-span (boilerplate) gate over the
+    # keep-set.  The flagged frame is O(dropped docs); persist it so
+    # the |tokens|-row dup computation runs once, not once for the
+    # count and again under the anti-join.
+    dup_span_dropped = None
+    flagged = None
+    if args.max_dup_span_frac is not None:
+        from boilerpipe_coffee_spark.operators.textstats import (
+            dup_span_frac_df,
+        )
+
+        flagged = (
+            dup_span_frac_df(training.select("doc_id", "text"))
+            .filter(F.col("dup_frac") > args.max_dup_span_frac)
+            .select("doc_id")
+            .persist()
+        )
+        dup_span_dropped = flagged.count()
+        training = training.join(flagged, "doc_id", "left_anti")
+        tick("dup_span_gate")
     # output tables land BUCKETED on doc_id (write_bucketed): pay the
     # partitioning shuffle once here so every downstream join against
     # training/chunks (and their mutual join) plans exchange-free --
@@ -280,6 +314,8 @@ def main() -> None:
         persisted.unpersist()
     if incr is not None:
         decisions.unpersist()
+    if flagged is not None:
+        flagged.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
 
@@ -380,6 +416,8 @@ def main() -> None:
         summary["near_dup_dropped"] = exact_kept - kept
     if quality_threshold is not None:
         summary["quality_threshold"] = quality_threshold
+    if dup_span_dropped is not None:
+        summary["dup_span_dropped"] = dup_span_dropped
     if n_chunks is not None:
         summary["chunks"] = n_chunks
     if packed_bins is not None:
