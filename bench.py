@@ -136,6 +136,7 @@ SUITE = [
     "tfidf_top_terms",
     "unigram_logprob_quality",
     "contamination_check",
+    "dup_span_stats",
     "packing_stats",
     "quality_histogram_quantiles",
     "doc_chunks",

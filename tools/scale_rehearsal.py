@@ -69,7 +69,8 @@ def _compare(sdf, con, sql, t0=None):
     }
 
 
-def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
+def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool,
+              only: set | None = None):
     from boilerpipe_coffee_spark.operators import dedup, similarity, textstats
 
     con = duckdb.connect()
@@ -93,6 +94,11 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
          similarity._emb_lsh_pairs_sql(n_rows=n_vecs)),
         ("pack_concat_split", textstats.pack_concat_split,
          textstats.PACK_CONCAT_SPLIT_SQL),
+        # r7: cross-doc duplicated-span pass (width is N-independent,
+        # so the committed SQL constant is the right oracle at every
+        # ladder point)
+        ("dup_span_stats", textstats.dup_span_stats,
+         textstats.DUP_SPAN_SQL),
         ("minhash_band_stats", dedup.minhash_band_stats,
          dedup._minhash_band_stats_sql(n_docs)),
         ("simhash_chunk_stats", dedup.simhash_chunk_stats,
@@ -116,6 +122,8 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
     COS_BANDS = [(0.55, 0.7), (0.7, 0.9), (0.9, 1.0000001)]
 
     out = []
+    if only:
+        families = [f for f in families if f[0] in only]
     for name, fn, sql in families:
         rec = {
             "point": os.path.basename(d), "n_docs": n_docs,
@@ -156,7 +164,10 @@ def run_point(spark, d: str, n_docs: int, n_vecs: int, skip_oracle: bool):
                             sum(p in got for p in in_band), len(in_band)
                         ]
                     rec["recall_by_cosine_band"] = bands
-            if name.endswith("_stats"):
+            if name in (
+                "minhash_band_stats", "simhash_chunk_stats",
+                "emb_bucket_stats",
+            ):
                 rec["stats"] = {
                     k: (v.item() if hasattr(v, "item") else v)
                     for k, v in fn(spark, d).collect()[0].asDict().items()
@@ -181,6 +192,10 @@ def main():
         "--skip-oracle-over", type=int, default=10**9,
         help="skip the DuckDB side for points with n_docs above this",
     )
+    ap.add_argument(
+        "--families", default=None,
+        help="comma-separated family subset (default: all)",
+    )
     args = ap.parse_args()
 
     from make_scale_corpus import corpus_current, write_corpus
@@ -199,7 +214,8 @@ def main():
     all_recs = []
     for d, nd, nv in points:
         all_recs += run_point(
-            spark, d, nd, nv, skip_oracle=nd > args.skip_oracle_over
+            spark, d, nd, nv, skip_oracle=nd > args.skip_oracle_over,
+            only=set(args.families.split(",")) if args.families else None,
         )
     bad = [r for r in all_recs
            if r["err"] or not r.get("hash_match", True)]
