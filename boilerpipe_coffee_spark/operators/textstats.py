@@ -571,6 +571,47 @@ def dup_span_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _gram_rows_df(base: DataFrame, w: int) -> DataFrame:
+    """(doc_id, text) -> (doc_id, pos, g): one row per word-``w``-gram
+    window position, ``g`` = the 60-bit ``h64`` of the gram string,
+    computed in a vectorized Arrow pass.  The declarative form
+    (shingle HOF + posexplode + md5) is interpreted per gram and cost
+    333 s at the 50k-doc rehearsal point vs DuckDB's 71 s for the
+    whole query; same exact integer math as ``h64``/``h64_duck``
+    (first 15 md5 hex chars), same tokenizer as
+    ``dedup.shingle_sets_df`` (proven hash-exact vs the oracle)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    from .dedup import _doc_id_sql_type
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def grams_fn(batches):
+        for pdf in batches:
+            ids, poss, gs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                n = len(toks) - w + 1
+                for i in range(max(n, 0)):
+                    ids.append(doc_id)
+                    poss.append(i)
+                    gs.append(
+                        int(
+                            hashlib.md5(
+                                " ".join(toks[i : i + w]).encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "pos": poss, "g": gs})
+
+    schema = "doc_id " + _doc_id_sql_type(base) + ", pos int, g bigint"
+    return base.select("doc_id", "text").mapInPandas(grams_fn, schema)
+
+
 def dup_span_frac_df(
     df: DataFrame, text_col: str = "text", w: int = None
 ) -> DataFrame:
@@ -579,21 +620,30 @@ def dup_span_frac_df(
     (doc_id, <text_col>) frame — shared by the driver query and the
     pipeline ``--max-dup-span-frac`` boilerplate gate.  Works for
     both int and string doc_ids (min/max distinct-docs test only
-    needs an ordering)."""
+    needs an ordering).
+
+    The duplicated-gram marking is agg + semi-join (NOT a window over
+    ``g``): partial map-side min/max collapses even a gram that
+    appears in 1% of all docs to one row per mapper, where a window
+    would sort that gram's every occurrence in one partition — the
+    skew-robust choice at corpus scale.  The Arrow gram stage runs
+    twice (once per consumer); that re-run is ~10x cheaper than the
+    interpreted single-pass form it replaced."""
     from pyspark.sql import Window
 
-    from ..functions import h64, shingles
+    from ..functions import TOKENS
 
     w = w or DUP_SPAN_W
-    base = df.select("doc_id", F.col(text_col).alias("text")).select(
-        "doc_id", F.expr(shingles(w)).alias("sh")
-    )
+    base = df.select("doc_id", F.col(text_col).alias("text"))
+    n_toks = F.size(F.expr(TOKENS))
     sized = base.select(
-        "doc_id", F.size("sh").cast("bigint").alias("n_windows")
+        "doc_id",
+        F.when(n_toks >= w, n_toks - (w - 1))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n_windows"),
     )
-    ex = base.select(
-        "doc_id", F.posexplode("sh").alias("pos", "shingle")
-    ).select("doc_id", "pos", h64(F.col("shingle")).alias("g"))
+    ex = _gram_rows_df(base, w)
     dup = (
         ex.groupBy("g")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
