@@ -413,7 +413,11 @@ def main() -> None:
         summary["pii_scrubbed"] = pii_totals
     if exact_kept is not None:
         summary["exact_kept"] = exact_kept
-        summary["near_dup_dropped"] = exact_kept - kept
+        # exact_kept - kept also absorbs any dup-span-gate drops;
+        # subtract them so the near-dup number means near-dup only
+        summary["near_dup_dropped"] = (
+            exact_kept - kept - (dup_span_dropped or 0)
+        )
     if quality_threshold is not None:
         summary["quality_threshold"] = quality_threshold
     if dup_span_dropped is not None:
