@@ -1056,12 +1056,12 @@ def build_dedup_index(
     import json
     import os
 
-    from pyspark.sql import Window
 
     from ..sources import write_bucketed
 
+    n_docs = docs.count()
     if banding is None:
-        banding = minhash_banding(docs.count())
+        banding = minhash_banding(n_docs)
     tag = _index_tag(index_dir)
     hashes = (
         docs.select(F.col("doc_id"), F.md5("text").alias("h"))
@@ -1072,22 +1072,185 @@ def build_dedup_index(
         hashes, f"bpc_dedup_idx_h_{tag}", os.path.join(index_dir, "hashes"),
         "h", n_buckets=n_buckets,
     )
-    bands = (
-        minhash_bands_df(docs.select("doc_id", "text"), banding)
-        .withColumn("bn", F.count("*").over(Window.partitionBy("band_key")))
+    # pre-cap per-bucket counts are materialized alongside the capped
+    # band table: the cap must be re-applied on MERGED counts when the
+    # index is rolled forward (update_dedup_index), and a capped table
+    # alone has lost both the dropped rows and their counts.  persist
+    # the banded frame so the signature pass (the expensive part) runs
+    # once for both consumers.
+    banded = minhash_bands_df(docs.select("doc_id", "text"), banding)
+    banded.persist()
+    counts = banded.groupBy("band_key").agg(F.count("*").alias("bn"))
+    write_bucketed(
+        counts, f"bpc_dedup_idx_c_{tag}",
+        os.path.join(index_dir, "band_counts"), "band_key",
+        n_buckets=n_buckets,
+    )
+    ok = (
+        docs.sparkSession.table(f"bpc_dedup_idx_c_{tag}")
         .filter(F.col("bn") <= bucket_cap)
+        .select("band_key")
+    )
+    bands = (
+        banded.join(ok, "band_key", "left_semi")
         .select(F.col("doc_id").alias("ex_id"), "band_key")
     )
     write_bucketed(
         bands, f"bpc_dedup_idx_b_{tag}", os.path.join(index_dir, "bands"),
         "band_key", n_buckets=n_buckets,
     )
+    banded.unpersist()
     meta = {
         "banding": list(banding),
         "bucket_cap": bucket_cap,
         "n_buckets": n_buckets,
+        "n_docs": n_docs,
+        # frozen so consumers can register the (possibly empty) tables
+        # with an explicit schema instead of file inference
+        "doc_id_type": docs.schema["doc_id"].dataType.simpleString(),
     }
     with open(os.path.join(index_dir, DEDUP_INDEX_META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _index_schemas(meta: dict) -> "dict[str, str] | dict[str, None]":
+    """DDL column lists for the three index tables, or Nones (fall
+    back to file inference) for indexes built before doc_id_type."""
+    dt = meta.get("doc_id_type")
+    if dt is None:
+        return {"hashes": None, "bands": None, "band_counts": None}
+    return {
+        "hashes": f"`h` string, `exact_dup_of` {dt}",
+        "bands": f"`ex_id` {dt}, `band_key` string",
+        "band_counts": "`band_key` string, `bn` bigint",
+    }
+
+
+def update_dedup_index(
+    new_docs: DataFrame, prior_dir: str, out_dir: str
+) -> dict:
+    """Roll the corpus-version index forward: prior index + the batch
+    of NEWLY KEPT docs -> the next version's index, WITHOUT re-signing
+    the existing corpus.  Signatures (the expensive text pass) are
+    computed only for the batch; the prior index contributes its
+    materialized hash/band/count tables, so the update costs
+    O(batch text + index size), never O(corpus text).
+
+    Semantics are exactly a fresh :func:`build_dedup_index` over the
+    union corpus at the FROZEN banding (equivalence is test-asserted):
+
+    - hashes: union + groupBy min -- the global min doc_id per hash.
+    - band cap: re-applied on MERGED per-bucket counts (prior pre-cap
+      counts + batch counts).  A bucket that crosses the cap only
+      after the merge loses its PRIOR rows too -- which is why the
+      build materializes ``band_counts``; the capped band table alone
+      has lost both the dropped rows and their counts.  Indexes built
+      before band_counts existed must be rebuilt once.
+
+    Banding stays frozen at the prior version's (b, r) -- probe
+    signatures only match the index they were banded for.  The
+    returned meta carries ``banding_stale``: when corpus growth moves
+    :func:`minhash_banding` past the frozen policy, schedule a full
+    rebuild at the next version roll (an epoch event, not a per-batch
+    one)."""
+    import json
+    import os
+
+    from ..sources import register_bucketed, write_bucketed
+
+    with open(os.path.join(prior_dir, DEDUP_INDEX_META)) as f:
+        prior = json.load(f)
+    if not os.path.isdir(os.path.join(prior_dir, "band_counts")):
+        raise ValueError(
+            f"{prior_dir} has no band_counts table (built before "
+            "update support) -- rebuild it once with build_dedup_index"
+        )
+    banding = tuple(prior["banding"])
+    cap, n_buckets = prior["bucket_cap"], prior["n_buckets"]
+    spark = new_docs.sparkSession
+    tag_p, tag_o = _index_tag(prior_dir), _index_tag(out_dir)
+    if tag_p == tag_o:
+        # in-place update would overwrite tables while scanning them
+        raise ValueError("out_dir must differ from prior_dir")
+
+    schemas = _index_schemas(prior)
+    batch_dt = new_docs.schema["doc_id"].dataType.simpleString()
+    if prior.get("doc_id_type") not in (None, batch_dt):
+        raise ValueError(
+            f"batch doc_id type {batch_dt} != index "
+            f"{prior['doc_id_type']}"
+        )
+    prior_h = register_bucketed(
+        spark, f"bpc_dedup_idx_h_{tag_p}",
+        os.path.join(prior_dir, "hashes"), "h", n_buckets=n_buckets,
+        schema=schemas["hashes"],
+    )
+    new_h = new_docs.select(
+        F.md5("text").alias("h"), F.col("doc_id").alias("exact_dup_of")
+    )
+    hashes = (
+        prior_h.unionByName(new_h)
+        .groupBy("h")
+        .agg(F.min("exact_dup_of").alias("exact_dup_of"))
+    )
+    write_bucketed(
+        hashes, f"bpc_dedup_idx_h_{tag_o}", os.path.join(out_dir, "hashes"),
+        "h", n_buckets=n_buckets,
+    )
+
+    banded = minhash_bands_df(new_docs.select("doc_id", "text"), banding)
+    banded.persist()
+    prior_c = register_bucketed(
+        spark, f"bpc_dedup_idx_c_{tag_p}",
+        os.path.join(prior_dir, "band_counts"), "band_key",
+        n_buckets=n_buckets, schema=schemas["band_counts"],
+    )
+    counts = (
+        prior_c.unionByName(
+            banded.groupBy("band_key").agg(F.count("*").alias("bn"))
+        )
+        .groupBy("band_key")
+        .agg(F.sum("bn").cast("bigint").alias("bn"))
+    )
+    write_bucketed(
+        counts, f"bpc_dedup_idx_c_{tag_o}",
+        os.path.join(out_dir, "band_counts"), "band_key",
+        n_buckets=n_buckets,
+    )
+    ok = (
+        spark.table(f"bpc_dedup_idx_c_{tag_o}")
+        .filter(F.col("bn") <= cap)
+        .select("band_key")
+    )
+    prior_b = register_bucketed(
+        spark, f"bpc_dedup_idx_b_{tag_p}",
+        os.path.join(prior_dir, "bands"), "band_key", n_buckets=n_buckets,
+        schema=schemas["bands"],
+    )
+    bands = (
+        prior_b.unionByName(
+            banded.select(F.col("doc_id").alias("ex_id"), "band_key")
+        )
+        .join(ok, "band_key", "left_semi")
+        .select("ex_id", "band_key")
+    )
+    write_bucketed(
+        bands, f"bpc_dedup_idx_b_{tag_o}", os.path.join(out_dir, "bands"),
+        "band_key", n_buckets=n_buckets,
+    )
+    banded.unpersist()
+
+    n_docs = prior.get("n_docs", 0) + new_docs.count()
+    meta = {
+        "banding": list(banding),
+        "bucket_cap": cap,
+        "n_buckets": n_buckets,
+        "n_docs": n_docs,
+        "doc_id_type": batch_dt,
+        "banding_stale": minhash_banding(n_docs) != banding,
+    }
+    with open(os.path.join(out_dir, DEDUP_INDEX_META), "w") as f:
         json.dump(meta, f)
     return meta
 
@@ -1115,13 +1278,14 @@ def probe_dedup_index(
     with open(os.path.join(index_dir, DEDUP_INDEX_META)) as f:
         meta = json.load(f)
     tag = _index_tag(index_dir)
+    schemas = _index_schemas(meta)
     exist_h = register_bucketed(
         spark, f"bpc_dedup_idx_h_{tag}", os.path.join(index_dir, "hashes"),
-        "h", n_buckets=meta["n_buckets"],
+        "h", n_buckets=meta["n_buckets"], schema=schemas["hashes"],
     )
     ex_bands = register_bucketed(
         spark, f"bpc_dedup_idx_b_{tag}", os.path.join(index_dir, "bands"),
-        "band_key", n_buckets=meta["n_buckets"],
+        "band_key", n_buckets=meta["n_buckets"], schema=schemas["bands"],
     )
     exact = (
         new_docs.select("doc_id", F.md5("text").alias("h"))

@@ -166,6 +166,7 @@ def register_bucketed(
     bucket_col: str,
     n_buckets: int = 8,
     sort: bool = True,
+    schema: str | None = None,
 ) -> DataFrame:
     """Re-attach bucketing metadata to files :func:`write_bucketed`
     produced in ANOTHER session.  Bucket layout lives in the catalog,
@@ -175,11 +176,19 @@ def register_bucketed(
     its joins/aggregations can plan exchange-free.  DROP/CREATE of an
     external LOCATION table never touches the data files.  The
     declared spec must match what was written (same bucket_col /
-    n_buckets / sort) -- Spark trusts the DDL."""
-    df = spark.read.parquet(path)
-    cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-    )
+    n_buckets / sort) -- Spark trusts the DDL.
+
+    ``schema`` (a DDL column list) skips file-based inference -- a
+    legitimately EMPTY table (e.g. a dedup index whose band buckets
+    were all capped) has no parquet file to infer from."""
+    if schema is not None:
+        cols = schema
+    else:
+        df = spark.read.parquet(path)
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in df.schema.fields
+        )
     sorted_by = f"SORTED BY (`{bucket_col}`) " if sort else ""
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     spark.sql(

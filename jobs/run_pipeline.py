@@ -333,18 +333,34 @@ def main() -> None:
     tick("post_counts")
 
     # corpus-version dedup index over the KEPT set (the "existing
-    # corpus" the next incremental ingest probes)
+    # corpus" the next incremental ingest probes).  An incremental run
+    # ROLLS the prior version's index forward -- the v2 corpus is
+    # v1 UNION this batch's keepers, so a fresh build over only the
+    # batch would silently forget every v1 doc; update_dedup_index
+    # merges without re-signing the existing corpus (batch-cost only)
     dedup_index_dir = None
     if args.emit_dedup_index:
-        from boilerpipe_coffee_spark.operators.dedup import (
-            build_dedup_index,
-        )
-
         dedup_index_dir = os.path.join(args.output, "dedup_index")
-        build_dedup_index(
-            spark.read.parquet(training_dir).select("doc_id", "text"),
-            dedup_index_dir,
+        kept_docs = spark.read.parquet(training_dir).select(
+            "doc_id", "text"
         )
+        if args.incremental:
+            from boilerpipe_coffee_spark.operators.dedup import (
+                update_dedup_index,
+            )
+
+            update_dedup_index(
+                kept_docs,
+                os.path.join(args.incremental, "dedup_index"),
+                dedup_index_dir,
+            )
+        else:
+            from boilerpipe_coffee_spark.operators.dedup import (
+                build_dedup_index,
+            )
+
+            build_dedup_index(kept_docs, dedup_index_dir)
+        tick("dedup_index")
 
     # stage 5 (optional): materialized training chunks + media features
     n_chunks = n_media = media_quarantined = None

@@ -147,3 +147,120 @@ def test_pipeline_incremental_e2e(tmp_path_factory):
     assert s2["incr_near_dup"] == 98
     assert s2["incr_novel"] == 52
     assert s2["kept"] == 1
+
+
+# ------------------------------------------------------------------ #
+# index roll-forward: update_dedup_index (round 7)                    #
+# ------------------------------------------------------------------ #
+
+
+def test_update_equals_fresh_build(spark, tmp_path_factory):
+    """update(prior index, batch) must equal a fresh build over the
+    union corpus at the frozen banding, table by table -- hashes,
+    bands AND the pre-cap band_counts (min-of-mins for hashes; the
+    cap re-applied on merged counts keeps exactly the fresh build's
+    row set, because a bucket whose merged total fits the cap was
+    never capped in the prior version either)."""
+    from boilerpipe_coffee_spark.operators.dedup import (
+        update_dedup_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("dixup"))
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+    v1_docs = docs.filter(F.col("doc_id").cast("bigint") % 3 != 0)
+    batch = docs.filter(F.col("doc_id").cast("bigint") % 3 == 0)
+
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    fresh = os.path.join(base, "fresh")
+    meta1 = build_dedup_index(v1_docs, v1)
+    meta2 = update_dedup_index(batch, v1, v2)
+    metaf = build_dedup_index(docs, fresh, banding=tuple(meta1["banding"]))
+
+    assert meta2["banding"] == metaf["banding"]
+    assert meta2["n_docs"] == docs.count()
+    for sub in ("hashes", "bands", "band_counts"):
+        got = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(v2, sub)).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(fresh, sub)).collect()
+        )
+        assert got == want, sub
+
+
+def test_update_cap_crossing(spark, tmp_path_factory):
+    """A band bucket under the cap in v1 that crosses it after the
+    merge must lose its PRIOR rows too -- the reason band_counts is
+    materialized at build time."""
+    from boilerpipe_coffee_spark.operators.dedup import (
+        update_dedup_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("dixcap"))
+    t = "alpha beta gamma delta epsilon zeta"
+    v1_docs = spark.createDataFrame(
+        [("a1", t), ("a2", t)], "doc_id string, text string"
+    )
+    batch = spark.createDataFrame([("a3", t)], "doc_id string, text string")
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    build_dedup_index(v1_docs, v1, banding=(4, 2), bucket_cap=2)
+    assert spark.read.parquet(os.path.join(v1, "bands")).count() > 0
+    update_dedup_index(batch, v1, v2)
+    # merged bucket count 3 > cap 2: every band row (old AND new) gone
+    # (the dir is legitimately EMPTY -- no file to infer schema from,
+    # which is exactly why index consumers register with the meta's
+    # explicit schema)
+    assert (
+        spark.read.schema("ex_id string, band_key string")
+        .parquet(os.path.join(v2, "bands"))
+        .count()
+        == 0
+    )
+    # ... but the counts remember the flooded bucket at its true size
+    cnt = spark.read.parquet(os.path.join(v2, "band_counts"))
+    assert cnt.agg(F.max("bn")).collect()[0][0] == 3
+    # and the exact-hash side still catches a fourth copy
+    probe = probe_dedup_index(
+        spark,
+        spark.createDataFrame([("a4", t)], "doc_id string, text string"),
+        v2,
+    ).collect()[0]
+    assert probe["exact_dup_of"] == "a1"
+
+
+def test_pipeline_incremental_rolls_index(tmp_path_factory):
+    """--incremental + --emit-dedup-index must produce the NEXT corpus
+    version's index (v1 docs unioned with this batch's keepers), not
+    an index over only the batch."""
+    v1 = str(tmp_path_factory.mktemp("roll_v1"))
+    v2 = str(tmp_path_factory.mktemp("roll_v2"))
+    s1 = _run_job(
+        "--synth", "200", "--output", v1, "--buckets", "4",
+        "--emit-dedup-index",
+    )
+    s2 = _run_job(
+        "--synth", "200", "--output", v2, "--buckets", "4",
+        "--incremental", v1, "--emit-dedup-index",
+    )
+    with open(os.path.join(v2, "dedup_index", "index_meta.json")) as f:
+        meta = json.load(f)
+    # v2 corpus = v1 keepers + this batch's keepers
+    assert meta["n_docs"] == s1["kept"] + s2["kept"]
+    assert meta["banding_stale"] is False
+    import duckdb
+
+    n_hashes = duckdb.sql(
+        "SELECT count(*) FROM read_parquet('"
+        + os.path.join(v2, "dedup_index", "hashes", "*.parquet")
+        + "')"
+    ).fetchone()[0]
+    # identical re-crawl: batch keepers are novel docs only, so every
+    # v1 hash survives and each new keeper adds exactly one
+    assert n_hashes == s1["kept"] + s2["kept"]
