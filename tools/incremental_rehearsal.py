@@ -209,6 +209,65 @@ def grade(batch_dir: str, out_dir: str, prior_out: str, summary: dict):
     return inv
 
 
+def roll_index(prior_out: str, out_dir: str, base: str) -> dict:
+    """Measure the index roll-forward at scale: update(prior, batch
+    keepers) vs a fresh build over the union corpus, with checksum
+    equality asserted Spark-side (bit_xor of row hashes -- the tables
+    are millions of rows; never collect them)."""
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        build_dedup_index,
+        update_dedup_index,
+    )
+    from boilerpipe_coffee_spark.plans import get_spark
+
+    spark = get_spark(app_name="incr-rehearsal-roll")
+    v1_docs = spark.read.parquet(
+        os.path.join(prior_out, "training")
+    ).select("doc_id", "text")
+    batch = spark.read.parquet(os.path.join(out_dir, "training")).select(
+        "doc_id", "text"
+    )
+
+    rec = {}
+    # the composed run's index predates band_counts; rebuild once
+    # (this is also the honest "what a rebuild costs" yardstick)
+    v1_idx = os.path.join(base, "idx_v1")
+    t0 = time.time()
+    meta1 = build_dedup_index(v1_docs, v1_idx)
+    rec["v1_rebuild_sec"] = round(time.time() - t0, 2)
+
+    v2_idx = os.path.join(base, "idx_v2")
+    t0 = time.time()
+    meta2 = update_dedup_index(batch, v1_idx, v2_idx)
+    rec["update_sec"] = round(time.time() - t0, 2)
+
+    fresh_idx = os.path.join(base, "idx_fresh")
+    t0 = time.time()
+    build_dedup_index(
+        v1_docs.unionByName(batch), fresh_idx,
+        banding=tuple(meta1["banding"]),
+    )
+    rec["fresh_union_build_sec"] = round(time.time() - t0, 2)
+
+    def checksum(d: str, sub: str):
+        df = spark.read.parquet(os.path.join(d, sub))
+        r = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+            F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x")
+        ).collect()[0]
+        return int(r["n"]), int(r["x"] or 0)
+
+    for sub in ("hashes", "bands", "band_counts"):
+        got, want = checksum(v2_idx, sub), checksum(fresh_idx, sub)
+        rec[f"{sub}_equal"] = got == want
+        rec[f"{sub}_rows"] = got[0]
+    rec["n_docs_v2"] = meta2["n_docs"]
+    rec["banding_stale"] = meta2["banding_stale"]
+    spark.stop()
+    return rec
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--prior-out", default="/tmp/scale_ppl/out500000")
@@ -216,6 +275,7 @@ def main() -> int:
     ap.add_argument("--exact", type=int, default=E_EXACT)
     ap.add_argument("--near", type=int, default=N_NEAR)
     ap.add_argument("--novel", type=int, default=X_NOVEL)
+    ap.add_argument("--roll-index", action="store_true")
     args = ap.parse_args()
     _set_sizes(args.exact, args.near, args.novel)
 
@@ -232,6 +292,13 @@ def main() -> int:
     inv = grade(batch, out, args.prior_out, summary)
     print(json.dumps({"invariants": inv}), flush=True)
     bad = [k for k, v in inv.items() if isinstance(v, bool) and not v]
+    if args.roll_index:
+        roll = roll_index(args.prior_out, out, args.base)
+        print(json.dumps({"roll_index": roll}), flush=True)
+        bad += [
+            k for k, v in roll.items()
+            if isinstance(v, bool) and k.endswith("_equal") and not v
+        ]
     print(json.dumps({"bad": bad}), flush=True)
     return 1 if bad else 0
 
