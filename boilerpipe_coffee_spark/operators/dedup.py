@@ -1030,6 +1030,7 @@ def build_dedup_index(
     banding: "tuple[int, int] | None" = None,
     bucket_cap: int = BUCKET_CAP,
     n_buckets: int = 8,
+    scrubbed: bool = False,
 ) -> dict:
     """Materialize the dedup index for an EXISTING (already
     deduplicated) corpus -- the thing a recurring-crawl operator
@@ -1050,9 +1051,18 @@ def build_dedup_index(
     ``banding`` defaults to :func:`minhash_banding` on the indexed
     corpus count.  The bucketed layout makes every later probe join
     shuffle ONLY the incoming batch (the index side scans
-    pre-partitioned; see tests/test_plans.py).  At 100 TB the index
-    is a fraction of corpus size (one 16-byte hash + b band keys per
-    doc) and is rebuilt only when the corpus version rolls."""
+    pre-partitioned; plan-asserted in tests/test_incremental_index.py
+    ::test_band_probe_plan_is_asymmetric).  At 100 TB the index is a
+    fraction of corpus size (one 16-byte hash + b band keys per doc)
+    and is rebuilt only when the corpus version rolls.
+
+    ``scrubbed=True`` records in the meta that ``docs.text`` is the
+    PII-SCRUBBED representation (``textstats.pii_scrub_text``):
+    :func:`probe_dedup_index` then scrubs the probe side before
+    hashing/banding, so a re-fetched PII-bearing doc still exact-
+    matches its corpus twin.  The flag is frozen in the index like the
+    banding -- representation is an index property, not a per-probe
+    choice."""
     import json
     import os
 
@@ -1108,6 +1118,7 @@ def build_dedup_index(
         # frozen so consumers can register the (possibly empty) tables
         # with an explicit schema instead of file inference
         "doc_id_type": docs.schema["doc_id"].dataType.simpleString(),
+        "scrubbed": bool(scrubbed),
     }
     with open(os.path.join(index_dir, DEDUP_INDEX_META), "w") as f:
         json.dump(meta, f)
@@ -1128,7 +1139,10 @@ def _index_schemas(meta: dict) -> "dict[str, str] | dict[str, None]":
 
 
 def update_dedup_index(
-    new_docs: DataFrame, prior_dir: str, out_dir: str
+    new_docs: DataFrame,
+    prior_dir: str,
+    out_dir: str,
+    scrubbed: "bool | None" = None,
 ) -> dict:
     """Roll the corpus-version index forward: prior index + the batch
     of NEWLY KEPT docs -> the next version's index, WITHOUT re-signing
@@ -1153,7 +1167,13 @@ def update_dedup_index(
     returned meta carries ``banding_stale``: when corpus growth moves
     :func:`minhash_banding` past the frozen policy, schedule a full
     rebuild at the next version roll (an epoch event, not a per-batch
-    one)."""
+    one; rehearsed in tools/banding_epoch_rehearsal.py).
+
+    ``scrubbed`` asserts the representation of ``new_docs.text``
+    against the prior index's frozen flag: pass the current run's
+    scrub setting and a mismatch raises instead of silently merging
+    raw hashes into a scrubbed index (or vice versa).  ``None`` skips
+    the check (caller guarantees consistency)."""
     import json
     import os
 
@@ -1168,6 +1188,15 @@ def update_dedup_index(
         )
     banding = tuple(prior["banding"])
     cap, n_buckets = prior["bucket_cap"], prior["n_buckets"]
+    if scrubbed is not None and bool(scrubbed) != prior.get(
+        "scrubbed", False
+    ):
+        raise ValueError(
+            f"text representation mismatch: index at {prior_dir} was "
+            f"built scrubbed={prior.get('scrubbed', False)} but this "
+            f"run supplies scrubbed={bool(scrubbed)} docs -- mixing "
+            "representations silently breaks exact-hash dedup"
+        )
     spark = new_docs.sparkSession
     tag_p, tag_o = _index_tag(prior_dir), _index_tag(out_dir)
     if tag_p == tag_o:
@@ -1249,6 +1278,7 @@ def update_dedup_index(
         "n_docs": n_docs,
         "doc_id_type": batch_dt,
         "banding_stale": minhash_banding(n_docs) != banding,
+        "scrubbed": prior.get("scrubbed", False),
     }
     with open(os.path.join(out_dir, DEDUP_INDEX_META), "w") as f:
         json.dump(meta, f)
@@ -1269,7 +1299,13 @@ def probe_dedup_index(
     Both probes join against BUCKETED index tables re-registered via
     :func:`..sources.register_bucketed`: only the incoming side
     shuffles (asymmetric join -- the index side's exchange was paid
-    once at build; plan-asserted in tests/test_plans.py)."""
+    once at build; plan-asserted in tests/test_incremental_index.py
+    ::test_band_probe_plan_is_asymmetric).
+
+    If the index meta records ``scrubbed: true`` the probe text is
+    passed through the PII redaction chain before hashing/banding --
+    the index holds hashes of the SCRUBBED representation, so probing
+    raw re-fetched text would miss every PII-bearing exact dup."""
     import json
     import os
 
@@ -1277,6 +1313,12 @@ def probe_dedup_index(
 
     with open(os.path.join(index_dir, DEDUP_INDEX_META)) as f:
         meta = json.load(f)
+    if meta.get("scrubbed"):
+        from .textstats import pii_scrub_text
+
+        new_docs = new_docs.withColumn(
+            "text", pii_scrub_text(F.col("text"))
+        )
     tag = _index_tag(index_dir)
     schemas = _index_schemas(meta)
     exist_h = register_bucketed(

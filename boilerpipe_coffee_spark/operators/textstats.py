@@ -1222,6 +1222,19 @@ def pii_scrub(spark, sf_dir):
     return docs.select(*cols).orderBy("doc_id")
 
 
+def pii_scrub_text(col: "F.Column") -> "F.Column":
+    """The ``PII_CLASSES`` redaction chain as ONE Column expression
+    (fixed class order, same placeholders as :func:`scrub_pii_df`).
+    Shared by the scrub stage and by ``probe_dedup_index`` when an
+    index's ``index_meta.json`` records ``scrubbed: true`` -- the
+    probe must hash the SAME representation the index was built from,
+    or a re-fetched PII-bearing doc silently misses its exact match."""
+    scrubbed = col
+    for _, pat, token in PII_CLASSES:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return scrubbed
+
+
 def scrub_pii_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     """DataFrame-level redaction stage (round 7): replace every
     ``PII_CLASSES`` match in ``text_col`` with its placeholder token
@@ -1232,18 +1245,17 @@ def scrub_pii_df(df: DataFrame, text_col: str = "text") -> DataFrame:
     front of any sink at any corpus size.  Consumed by
     ``jobs/run_pipeline.py --scrub-pii`` to scrub the keep-set before
     chunking/packing."""
-    scrubbed = F.col(text_col)
     counts = []
-    for name, pat, token in PII_CLASSES:
+    for name, pat, _ in PII_CLASSES:
         counts.append(
             F.regexp_count(text_col, F.lit(pat))
             .cast("bigint")
             .alias(f"n_{name}")
         )
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
     keep_cols = [c for c in df.columns if c != text_col]
     return df.select(
-        *keep_cols, *counts, scrubbed.alias(text_col)
+        *keep_cols, *counts,
+        pii_scrub_text(F.col(text_col)).alias(text_col),
     )
 
 

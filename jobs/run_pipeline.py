@@ -290,11 +290,18 @@ def main() -> None:
     # compliance pass: scrub the keep-set BEFORE it is materialized,
     # so training/, chunks/ and packed/ all carry redacted text only
     if args.scrub_pii:
+        from boilerpipe_coffee_spark.functions import TOKENS
         from boilerpipe_coffee_spark.operators.textstats import (
             scrub_pii_df,
         )
 
-        training = scrub_pii_df(training)
+        # n_tokens must describe the text the table actually carries:
+        # placeholders tokenize differently, so recompute on the
+        # scrubbed text (chunk/pack re-tokenize anyway; this keeps
+        # closed-form consumers of n_tokens honest for PII docs)
+        training = scrub_pii_df(training).withColumn(
+            "n_tokens", F.size(F.expr(TOKENS))
+        )
 
     import hashlib
 
@@ -353,13 +360,16 @@ def main() -> None:
                 kept_docs,
                 os.path.join(args.incremental, "dedup_index"),
                 dedup_index_dir,
+                scrubbed=args.scrub_pii,
             )
         else:
             from boilerpipe_coffee_spark.operators.dedup import (
                 build_dedup_index,
             )
 
-            build_dedup_index(kept_docs, dedup_index_dir)
+            build_dedup_index(
+                kept_docs, dedup_index_dir, scrubbed=args.scrub_pii
+            )
         tick("dedup_index")
 
     # stage 5 (optional): materialized training chunks + media features

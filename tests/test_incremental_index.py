@@ -264,3 +264,92 @@ def test_pipeline_incremental_rolls_index(tmp_path_factory):
     # identical re-crawl: batch keepers are novel docs only, so every
     # v1 hash survives and each new keeper adds exactly one
     assert n_hashes == s1["kept"] + s2["kept"]
+
+
+# ------------------------------------------------------------------ #
+# scrubbed-representation indexes (round 8, ADVICE r7)                 #
+# ------------------------------------------------------------------ #
+
+
+def test_scrubbed_index_matches_raw_refetch(spark, tmp_path_factory):
+    """An index built from the PII-SCRUBBED keep-set (the --scrub-pii
+    + --emit-dedup-index composition) must still exact-match a RAW
+    re-fetch of the same PII-bearing docs: index_meta records
+    scrubbed=true and probe_dedup_index redacts the probe side before
+    hashing/banding.  Without that, re-crawled PII docs silently miss
+    the hash and flood the corpus with perturbed-signature dups."""
+    from boilerpipe_coffee_spark.operators.textstats import scrub_pii_df
+
+    idx = str(tmp_path_factory.mktemp("dix_scrub"))
+    raw_rows = [
+        ("d1", "contact alice@example.com about the training corpus"),
+        ("d2", "the origin server at 10.1.2.3 keeps timing out"),
+        ("d3", "a perfectly ordinary document with no pii anywhere"),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id string, text string")
+    scrubbed = scrub_pii_df(raw).select("doc_id", "text")
+    # the planted docs genuinely change under scrubbing (else this
+    # test proves nothing)
+    changed = {
+        r["doc_id"]
+        for r in scrubbed.exceptAll(raw.select("doc_id", "text")).collect()
+    }
+    assert changed == {"d1", "d2"}
+
+    meta = build_dedup_index(scrubbed, idx, scrubbed=True)
+    assert meta["scrubbed"] is True
+    rows = {
+        r["doc_id"]: r
+        for r in probe_dedup_index(spark, raw, idx).collect()
+    }
+    # every re-fetched doc -- PII-bearing or not -- exact-matches
+    for d, _ in raw_rows:
+        assert rows[d]["exact_dup_of"] == d, rows[d]
+        assert not rows[d]["keep"]
+    # a raw-representation index is untouched by the new path
+    idx_raw = str(tmp_path_factory.mktemp("dix_raw"))
+    meta_raw = build_dedup_index(raw, idx_raw)
+    assert meta_raw["scrubbed"] is False
+    rows_raw = {
+        r["doc_id"]: r
+        for r in probe_dedup_index(spark, raw, idx_raw).collect()
+    }
+    for d, _ in raw_rows:
+        assert rows_raw[d]["exact_dup_of"] == d
+
+
+def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
+    """Rolling a scrubbed index forward with raw-representation docs
+    (or vice versa) must raise, not silently merge mixed hashes."""
+    import pytest
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        update_dedup_index,
+    )
+    from boilerpipe_coffee_spark.operators.textstats import scrub_pii_df
+
+    base = str(tmp_path_factory.mktemp("dix_mismatch"))
+    docs = spark.createDataFrame(
+        [("d1", "mail bob@example.com today")],
+        "doc_id string, text string",
+    )
+    v1 = os.path.join(base, "v1")
+    build_dedup_index(
+        scrub_pii_df(docs).select("doc_id", "text"), v1, scrubbed=True
+    )
+    batch = spark.createDataFrame(
+        [("d9", "fresh doc")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="representation mismatch"):
+        update_dedup_index(
+            batch, v1, os.path.join(base, "v2"), scrubbed=False
+        )
+    # matching flag (caller scrubs the batch) rolls fine and carries
+    # the representation forward
+    meta = update_dedup_index(
+        scrub_pii_df(batch).select("doc_id", "text"),
+        v1,
+        os.path.join(base, "v2b"),
+        scrubbed=True,
+    )
+    assert meta["scrubbed"] is True

@@ -112,4 +112,12 @@ def test_pipeline_scrub_pii_e2e(spark, tmp_path_factory):
         for r in con.sql(f"DESCRIBE SELECT * FROM {training}").fetchall()
     }
     assert {"n_urls", "n_emails", "n_ids"} <= cols
+    # n_tokens describes the text the table CARRIES (recomputed after
+    # scrubbing -- placeholders tokenize differently than raw PII)
+    n_stale = con.sql(
+        f"SELECT count(*) FROM {training} WHERE n_tokens != "
+        "len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " x -> x != ''))"
+    ).fetchone()[0]
+    assert n_stale == 0
     con.close()
