@@ -188,6 +188,38 @@ def run_bench() -> dict:
         return run_partitioned(spark, docs, rp_dir, "ArticleExtractor",
                                n_buckets=8)
 
+    # incremental-ingest probe (r8: the recurring-crawl hot path):
+    # index built ONCE over the existing split (setup cost, untimed --
+    # it's per corpus version, not per batch), probe timed per pass.
+    # Forced evaluation via bit_xor(xxhash64): a bare count() can let
+    # Catalyst eliminate the probe's left joins (the r7 lesson).
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        INCR_SPLIT_MOD,
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    docs_tbl = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).select("doc_id", "text")
+    idx_dir = f"/tmp/bpc_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    build_dedup_index(
+        docs_tbl.filter(F.col("doc_id") % INCR_SPLIT_MOD != 0), idx_dir
+    )
+    probe_batch = docs_tbl.filter(
+        F.col("doc_id") % INCR_SPLIT_MOD == 0
+    )
+
+    def _probe():
+        return probe_dedup_index(spark, probe_batch, idx_dir).agg(
+            F.bit_xor(
+                F.xxhash64("doc_id", "exact_dup_of", "near_dup_of", "keep")
+            )
+        ).collect()
+
     # warm pass (JIT, python workers, page cache) -- recorded, not used.
     # The SUITE queries get the same treatment as extraction: a pandas-
     # UDF query's first call pays ~15-20 s of python-worker spawn +
@@ -198,6 +230,7 @@ def run_bench() -> dict:
     extract_staged(docs, "ArticleExtractor").count()
     _balanced_count()
     _run_partitioned_fresh()
+    _probe()
     for name in SUITE:
         qs[name](spark, SF_DIR).count()
 
@@ -223,6 +256,8 @@ def run_bench() -> dict:
         # dynamic-partition-overwrite write + metric commits)
         _, t_rp = _timed(_run_partitioned_fresh)
         samples.setdefault("run_partitioned", []).append(t_rp)
+        _, t_probe = _timed(_probe)
+        samples.setdefault("dedup_index_probe", []).append(t_probe)
         for name in SUITE:
             _, t = _timed(lambda name=name: qs[name](spark, SF_DIR).count())
             samples.setdefault(name, []).append(t)
@@ -245,6 +280,7 @@ def run_bench() -> dict:
     _, s3 = _timed(lambda: extract_staged(docs3, "ArticleExtractor").count())
 
     shutil.rmtree(rp_dir, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()
     return {
         "metric": "article_extract_wall_sec",

@@ -678,12 +678,14 @@ def dup_span_frac_df(
     )
 
 
-def _dup_span_sql() -> str:
+def _dup_span_sql(max_windows: int = 1000000) -> str:
     from ..functions import h64_duck, shingles_duck
 
     # positions via the static-range join idiom (DuckDB here lacks
     # WITH ORDINALITY and lateral range() binds — the doc_chunks
-    # oracle's pattern)
+    # oracle's pattern); ``max_windows`` bounds the static range AND
+    # arms the loud-truncation guard below (parameterized so the
+    # guard itself is testable without a real 1M-token doc)
     return f"""
 WITH base AS (
   SELECT doc_id, {shingles_duck(DUP_SPAN_W)} AS sh FROM documents
@@ -691,7 +693,7 @@ WITH base AS (
   SELECT doc_id, len(sh)::BIGINT AS n_windows FROM base
 ), ex AS (
   SELECT b.doc_id, t.i AS pos, {h64_duck('b.sh[t.i]')} AS g
-  FROM base b JOIN range(1, 1000000) t(i) ON t.i <= len(b.sh)
+  FROM base b JOIN range(1, {max_windows}) t(i) ON t.i <= len(b.sh)
 ), dup AS (
   SELECT g FROM ex GROUP BY g HAVING min(doc_id) <> max(doc_id)
 ), isl AS (
@@ -710,6 +712,20 @@ SELECT s.doc_id, s.n_windows,
          AS dup_frac,
        coalesce(a.dup_spans, 0)::BIGINT AS dup_spans
 FROM sized s LEFT JOIN agg a ON s.doc_id = a.doc_id
+CROSS JOIN (
+  -- the static range position join silently TRUNCATES a doc with
+  -- >= max_windows windows; the Spark side has no such bound, so a
+  -- mega-doc corpus must fail LOUDLY here instead of passing a
+  -- truncated oracle
+  SELECT CASE WHEN max(len(sh)) >= {max_windows}
+              THEN error('dup_span oracle: a doc exceeds the '
+                         || '{max_windows}-window static range join; '
+                         || 'raise the bound')
+              ELSE 1 END AS ok
+  FROM base
+) guard
+WHERE guard.ok = 1  -- referencing ok forces the guard's evaluation
+                    -- (an unreferenced column would be pruned)
 ORDER BY s.doc_id
 """
 

@@ -86,3 +86,21 @@ def test_planted_oracle_parity(spark, planted_dir):
     )
     con.close()
     assert got == want
+
+
+def test_oracle_guard_fires_on_mega_doc(planted_dir):
+    """The static-range position join truncates a doc with more
+    windows than the bound; the guard must turn that silent
+    truncation into a loud error (tested at a tiny bound -- the
+    production 1e6 bound is the same parameterized SQL)."""
+    from boilerpipe_coffee_spark.operators.textstats import _dup_span_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/documents.parquet')"
+    )
+    # planted docs have ~49 windows each: a bound of 10 is exceeded
+    with pytest.raises(Exception, match="static range join"):
+        con.sql(_dup_span_sql(max_windows=10)).fetchall()
+    con.close()
