@@ -1,0 +1,289 @@
+"""Full production-lifecycle rehearsal (round 8, VERDICT r7 task 1).
+
+Round 7 rehearsed each capability separately: the composed 500k build
+(without the dup-span gate), the incremental probe, and the index
+roll.  A real operator runs them as ONE chain, repeatedly:
+
+  v1: composed build at 500k with EVERY gate on -- quality gate,
+      exact dedup, near-dup components (reliable checkpoints),
+      cross-doc dup-span gate, PII scrub, chunks, packed sequences,
+      dedup index.
+  v2: the next crawl through the SAME job with --incremental v1 and
+      the same full gate set; --emit-dedup-index ROLLS the index
+      forward (update_dedup_index) instead of rebuilding.
+
+This tool runs that chain and asserts the two composition claims the
+per-capability rehearsals could not:
+
+  1. KEEP-SET EQUIVALENCE: the v2 job's materialized training table
+     equals the operator-level recomputation of its decisions -- the
+     same shared operators (probe_dedup_index, quality_gate,
+     near_dup_keep, dup_span_frac_df) invoked directly in one
+     session, in the documented stage order.  The operators' own
+     correctness is oracle-gated elsewhere; this pins the job's
+     WIRING (probe persist + components checkpoints + gate order in
+     one process).
+  2. INDEX-ROLL EQUIVALENCE: the v2 index the job rolled forward
+     checksum-equals a fresh build over (v1 keepers UNION v2
+     keepers) at the frozen banding -- bit_xor(xxhash64) per table,
+     never collected.
+
+The dup-span gate earns its slot in the chain: planted near-dup
+pairs that LSH MISSES (both members kept) are near-identical docs,
+so both carry dup_frac ~= 1 and the span gate sweeps them -- the
+per-phase report includes planted both-kept before/after evidence
+via pipeline_rehearsal.check_invariants.
+
+Usage:
+    python tools/lifecycle_rehearsal.py [--docs 500000]
+        [--base /tmp/scale_lifecycle] [--exact 10000] [--near 10000]
+        [--novel 30000] [--dup-span-frac 0.6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+
+def run_job(
+    in_dir: str,
+    out_dir: str,
+    ckpt: str,
+    buckets: int,
+    dup_span_frac: float,
+    incremental: "str | None" = None,
+) -> dict:
+    """One composed run_pipeline invocation with EVERY stage on."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYSPARK_SUBMIT_ARGS"] = (
+        "--driver-memory 12g --conf spark.sql.shuffle.partitions=128 "
+        "--conf spark.cleaner.periodicGC.interval=30s pyspark-shell"
+    )
+    cmd = [
+        sys.executable, str(REPO / "jobs" / "run_pipeline.py"),
+        "--input", in_dir, "--output", out_dir,
+        "--buckets", str(buckets),
+        "--checkpoint-dir", ckpt,
+        "--drop-bottom-quality-pct", "5",
+        "--max-dup-span-frac", str(dup_span_frac),
+        "--scrub-pii",
+        "--emit-chunks", "--pack-sequences", "--emit-dedup-index",
+    ]
+    if incremental:
+        cmd += ["--incremental", incremental]
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd, cwd=str(REPO), capture_output=True, text=True, env=env,
+        timeout=7200,
+    )
+    wall = round(time.time() - t0, 1)
+    lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    if not lines:
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise SystemExit(f"job failed rc={proc.returncode}")
+    summary = json.loads(lines[-1])
+    summary["job_wall_sec"] = wall
+    return summary
+
+
+def expected_keep_set(
+    spark, v2_out: str, v1_out: str, dup_span_frac: float
+) -> "set[str]":
+    """Operator-level recomputation of the v2 job's keep decisions:
+    the same shared operators, invoked directly, in the documented
+    stage order (probe -> quality gate -> exact -> near-dup ->
+    dup-span).  Scrub does not change membership (it rewrites text
+    after the last gate)."""
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.operators.dedup import probe_dedup_index
+    from boilerpipe_coffee_spark.operators.pretrain import (
+        content_features,
+        near_dup_keep,
+        quality_gate,
+    )
+    from boilerpipe_coffee_spark.operators.textstats import dup_span_frac_df
+
+    extracted = spark.read.parquet(os.path.join(v2_out, "extract", "data"))
+    features = content_features(extracted)
+
+    decisions = probe_dedup_index(
+        spark,
+        features.select("doc_id", "text"),
+        os.path.join(v1_out, "dedup_index"),
+    )
+    features = features.join(
+        decisions.filter(F.col("keep")).select("doc_id"), "doc_id",
+        "left_semi",
+    ).persist()
+
+    features, _thr = quality_gate(features, 5)
+    features = features.drop("quality", "passes_quality")
+    exact_kept = features.filter(F.col("keep")).count()
+    training = near_dup_keep(features, n_docs=exact_kept).filter(
+        F.col("keep_final")
+    )
+    flagged = (
+        dup_span_frac_df(training.select("doc_id", "text"))
+        .filter(F.col("dup_frac") > dup_span_frac)
+        .select("doc_id")
+    )
+    keep = {
+        r["doc_id"]
+        for r in training.join(flagged, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    features.unpersist()
+    return keep
+
+
+def check_index_roll(spark, v1_out: str, v2_out: str, base: str) -> dict:
+    """The v2 index the JOB rolled forward must checksum-equal a
+    fresh union build at the frozen banding."""
+    from pyspark.sql import functions as F
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        DEDUP_INDEX_META,
+        build_dedup_index,
+    )
+
+    with open(
+        os.path.join(v1_out, "dedup_index", DEDUP_INDEX_META)
+    ) as f:
+        v1_meta = json.load(f)
+    union_docs = (
+        spark.read.parquet(os.path.join(v1_out, "training"))
+        .select("doc_id", "text")
+        .unionByName(
+            spark.read.parquet(os.path.join(v2_out, "training")).select(
+                "doc_id", "text"
+            )
+        )
+    )
+    fresh_dir = os.path.join(base, "idx_fresh_union")
+    t0 = time.time()
+    build_dedup_index(
+        union_docs, fresh_dir,
+        banding=tuple(v1_meta["banding"]),
+        scrubbed=v1_meta.get("scrubbed", False),
+    )
+    rec: dict = {"fresh_union_build_sec": round(time.time() - t0, 2)}
+
+    def checksum(d: str, sub: str):
+        df = spark.read.parquet(os.path.join(d, sub))
+        r = df.select(F.xxhash64(*df.columns).alias("h")).agg(
+            F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x")
+        ).collect()[0]
+        return int(r["n"]), int(r["x"] or 0)
+
+    rolled = os.path.join(v2_out, "dedup_index")
+    for sub in ("hashes", "bands", "band_counts"):
+        got, want = checksum(rolled, sub), checksum(fresh_dir, sub)
+        rec[f"{sub}_equal"] = got == want
+        rec[f"{sub}_rows"] = got[0]
+    with open(os.path.join(rolled, DEDUP_INDEX_META)) as f:
+        v2_meta = json.load(f)
+    rec["n_docs_v2"] = v2_meta["n_docs"]
+    rec["banding_stale"] = v2_meta["banding_stale"]
+    rec["scrubbed"] = v2_meta.get("scrubbed", False)
+    return rec
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--base", default="/tmp/scale_lifecycle")
+    ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument("--exact", type=int, default=10_000)
+    ap.add_argument("--near", type=int, default=10_000)
+    ap.add_argument("--novel", type=int, default=30_000)
+    ap.add_argument("--dup-span-frac", type=float, default=0.6)
+    args = ap.parse_args()
+
+    import incremental_rehearsal as incr
+    from pipeline_rehearsal import (
+        check_invariants,
+        make_corpus,
+        wrap_interleaved,
+    )
+
+    bad: list[str] = []
+
+    # ---- phase A: v1 composed build, every gate on ----
+    corpus = make_corpus(args.base, args.docs)
+    v1_in = os.path.join(args.base, f"interleaved{args.docs}")
+    wrap_interleaved(corpus, v1_in)
+    v1_out = os.path.join(args.base, f"v1_out{args.docs}")
+    s1 = run_job(
+        v1_in, v1_out, os.path.join(args.base, "ckpt_v1"),
+        args.buckets, args.dup_span_frac,
+    )
+    print(json.dumps({"v1_summary": s1}), flush=True)
+    inv1 = check_invariants(corpus, v1_out, s1)
+    print(json.dumps({"v1_invariants": inv1}), flush=True)
+    bad += [f"v1:{k}" for k, v in inv1.items() if isinstance(v, bool) and not v]
+
+    # ---- phase B: v2 incremental crawl through the same job ----
+    incr._set_sizes(args.exact, args.near, args.novel)
+    batch = incr.build_batch(v1_out, args.base)
+    v2_in = os.path.join(args.base, "interleaved_v2")
+    wrap_interleaved(batch, v2_in)
+    v2_out = os.path.join(args.base, "v2_out")
+    s2 = run_job(
+        v2_in, v2_out, os.path.join(args.base, "ckpt_v2"),
+        8, args.dup_span_frac, incremental=v1_out,
+    )
+    print(json.dumps({"v2_summary": s2}), flush=True)
+    g = incr.grade(batch, v2_out, v1_out, s2)
+    print(json.dumps({"v2_grades": g}), flush=True)
+    bad += [f"v2:{k}" for k, v in g.items() if isinstance(v, bool) and not v]
+
+    # ---- phase C: the two composition equivalences ----
+    from boilerpipe_coffee_spark.plans import get_spark
+
+    spark = get_spark(app_name="lifecycle-rehearsal-check")
+    want = expected_keep_set(spark, v2_out, v1_out, args.dup_span_frac)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(v2_out, "training"))
+        .select("doc_id")
+        .collect()
+    }
+    keep_eq = {
+        "v2_keep_set_equal": got == want,
+        "v2_kept": len(got),
+        "only_in_job": sorted(got - want)[:10],
+        "only_in_oracle": sorted(want - got)[:10],
+    }
+    print(json.dumps({"keep_set": keep_eq}), flush=True)
+    if not keep_eq["v2_keep_set_equal"]:
+        bad.append("v2_keep_set_equal")
+
+    roll = check_index_roll(spark, v1_out, v2_out, args.base)
+    print(json.dumps({"index_roll": roll}), flush=True)
+    bad += [
+        k for k, v in roll.items()
+        if isinstance(v, bool) and k.endswith("_equal") and not v
+    ]
+    spark.stop()
+
+    print(json.dumps({"bad": bad}), flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
