@@ -353,3 +353,83 @@ def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
         scrubbed=True,
     )
     assert meta["scrubbed"] is True
+
+
+# ------------------------------------------------------------------ #
+# banding_stale epoch (round 8, VERDICT r7 task 2)                     #
+# ------------------------------------------------------------------ #
+
+
+def test_banding_stale_epoch_rebuild(spark, tmp_path_factory):
+    """Corpus growth across a minhash_banding boundary: the roll that
+    crosses it must flag banding_stale, the documented full rebuild
+    at the new (b, r) must restore the adaptive policy (and clear the
+    flag for subsequent rolls), and the rebuilt index must still
+    catch exact and near-dup probes.  Tested at the cheap 1k
+    boundary; the 10k epoch with planted recall/cost numbers is
+    tools/banding_epoch_rehearsal.py -> BASELINE.md r8."""
+    from boilerpipe_coffee_spark.operators.dedup import (
+        minhash_banding,
+        update_dedup_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("epoch"))
+    docs = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .limit(500)
+    )
+    # synth to 1100 total: 900 v1 + 200 batch, texts made unique by a
+    # doc-local suffix (the index is for an already-deduped corpus)
+    pool = [
+        (f"d{i:04d}", f"{r['text']} epochtail{i}")
+        for i, r in enumerate(
+            docs.collect() + docs.collect() + docs.collect()
+        )
+    ][:1100]
+    v1 = spark.createDataFrame(pool[:900], "doc_id string, text string")
+    batch = spark.createDataFrame(
+        pool[900:], "doc_id string, text string"
+    )
+    v1_dir = os.path.join(base, "v1")
+    meta = build_dedup_index(v1, v1_dir)
+    assert tuple(meta["banding"]) == minhash_banding(900) == (4, 2)
+
+    v2_dir = os.path.join(base, "v2")
+    meta = update_dedup_index(batch, v1_dir, v2_dir)
+    assert meta["n_docs"] == 1100
+    assert minhash_banding(1100) == (6, 3)
+    assert meta["banding_stale"] is True  # frozen (4,2) != policy
+
+    # the epoch event: full rebuild at the new policy banding
+    rebuilt = os.path.join(base, "rebuilt")
+    union = v1.unionByName(batch)
+    meta = build_dedup_index(union, rebuilt)
+    assert tuple(meta["banding"]) == (6, 3)
+    assert "banding_stale" not in meta
+
+    # a post-epoch roll is no longer stale
+    post = spark.createDataFrame(
+        [("z0001", "entirely fresh post epoch document text")],
+        "doc_id string, text string",
+    )
+    meta = update_dedup_index(
+        post, rebuilt, os.path.join(base, "post")
+    )
+    assert meta["banding_stale"] is False
+
+    # the rebuilt index still catches probes: an exact re-fetch and a
+    # 2-token-edit near-dup of an indexed doc
+    src = pool[0][1]
+    words = src.split()
+    words[2], words[-3] = "zzalpha", "zzomega"
+    probes = spark.createDataFrame(
+        [("pexact", src), ("pnear", " ".join(words))],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in probe_dedup_index(spark, probes, rebuilt).collect()
+    }
+    assert rows["pexact"]["exact_dup_of"] == "d0000"
+    assert rows["pnear"]["near_dup_of"] == "d0000"
