@@ -733,3 +733,374 @@ def read_pdf(buf: bytes) -> dict:
             raise ValueError("PDF content stream missing")
         pages.append(_stream_text(*content))
     return {"n_pages": len(pages), "pages": pages}
+
+
+# ------------------------------------------------------------------ #
+# JPEG (baseline DCT, non-progressive, 8-bit grayscale)               #
+# ------------------------------------------------------------------ #
+# Implemented from the public ITU-T T.81 spec: standard Annex K luma
+# quantization + Huffman tables, JFIF APP0, SOF0 single-component
+# scan.  Same scope discipline as the PNG codec above (8-bit
+# grayscale only): real-world color/progressive JPEGs raise
+# ValueError and quarantine rather than silently mis-decoding.
+
+JPEG_SOI = b"\xff\xd8"
+
+# Annex K.1 luminance quantization table (natural row-major order)
+_JPEG_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+# zigzag scan: _JPEG_ZIGZAG[k] = natural index of the k-th coefficient
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 luminance DC table: BITS (codes per length 1..16), HUFFVAL
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+# Annex K.3 luminance AC table
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, len)."""
+    out = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_lookup(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _huff_codes(bits, vals).items()
+    }
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    t *= np.sqrt(2.0 / 8.0)
+    t[0] *= np.sqrt(0.5)
+    return t
+
+
+_DCT_T = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise ValueError("JPEG scan data exhausted")
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.buf) or self.buf[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in JPEG scan")
+                self.pos += 1  # skip stuffed zero
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _magnitude(v: int) -> "tuple[int, int]":
+    """(size, appended bits) for a DC diff / AC coefficient (F.1.2)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v > 0 else v + (1 << s) - 1
+
+
+def write_jpeg(width: int, height: int, pixels: bytes) -> bytes:
+    """Baseline-DCT grayscale JFIF; ``pixels`` is width*height bytes,
+    row-major.  Lossy: quantized with the Annex K luma table."""
+    if len(pixels) != width * height:
+        raise ValueError(f"pixel buffer {len(pixels)} != {width}x{height}")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"bad JPEG dimensions {width}x{height}")
+    img = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
+    bw, bh = -(-width // 8), -(-height // 8)
+    # edge-replicate pad to full blocks (keeps edge gradients mild)
+    pad = np.pad(
+        img, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge"
+    ).astype(np.float64) - 128.0
+
+    q = _JPEG_QUANT.reshape(8, 8).astype(np.float64)
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = _DCT_T @ blk @ _DCT_T.T
+            zz = np.rint(coef / q).astype(np.int64).ravel()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s, bits_v = _magnitude(diff)
+            code, ln = dc_codes[s]
+            w.put(code, ln)
+            if s:
+                w.put(bits_v, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                s, bits_v = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | s]
+                w.put(code, ln)
+                w.put(bits_v, s)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                w.put(code, ln)
+
+    dqt = bytes([0]) + bytes(int(v) for v in _JPEG_QUANT[_JPEG_ZIGZAG])
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    dht = (
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        JPEG_SOI
+        + _jpeg_segment(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_segment(0xDB, dqt)
+        + _jpeg_segment(0xC0, sof)
+        + _jpeg_segment(0xC4, dht)
+        + _jpeg_segment(0xDA, sos)
+        + w.flush()
+        + b"\xff\xd9"
+    )
+
+
+@_parser
+def read_jpeg(buf: bytes) -> dict:
+    """Parse a baseline-DCT grayscale JPEG -> {width, height, pixels}.
+
+    Progressive (SOF2), extended/arithmetic/hierarchical frames,
+    multi-component scans, and restart intervals raise ValueError --
+    the declared-scope quarantine contract, never a wrong decode."""
+    if buf[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    quant: "dict[int, np.ndarray]" = {}
+    huff: "dict[tuple[int, int], dict]" = {}
+    width = height = None
+    dc_id = ac_id = qt_id = None
+    scan = None
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        seg = buf[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(
+                    seg[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int32)
+                if len(tbl) != 64:
+                    raise ValueError("short quant table")
+                nat = np.empty(64, dtype=np.int32)
+                nat[_JPEG_ZIGZAG] = tbl
+                quant[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("short Huffman table")
+                huff[(tc, th)] = _huff_lookup(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if depth != 8:
+                raise ValueError(f"JPEG depth {depth} unsupported")
+            if ncomp != 1:
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported (grayscale only)"
+                )
+            cid, sampling, qt_id = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG frame SOF{marker - 0xC0} unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan = buf[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    if width is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    if qt_id not in quant:
+        raise ValueError(f"JPEG quant table {qt_id} missing")
+    if (0, dc_id) not in huff or (1, ac_id) not in huff:
+        raise ValueError("JPEG Huffman tables missing")
+    dc_tbl, ac_tbl = huff[(0, dc_id)], huff[(1, ac_id)]
+    q = quant[qt_id].astype(np.float64)
+
+    def read_symbol(r: _BitReader, tbl: dict) -> int:
+        code, ln = 0, 0
+        while ln < 17:
+            code = (code << 1) | r.bit()
+            ln += 1
+            sym = tbl.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    bw, bh = -(-width // 8), -(-height // 8)
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    r = _BitReader(scan)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, dtype=np.float64)
+            s = read_symbol(r, dc_tbl)
+            if s > 11:
+                raise ValueError(f"JPEG DC size {s} out of range")
+            diff = extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = read_symbol(r, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                run, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if run != 15:
+                        raise ValueError(f"bad JPEG AC symbol {sym:#x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overrun")
+                zz[k] = extend(r.bits(s), s)
+                k += 1
+            nat = np.zeros(64, dtype=np.float64)
+            nat[_JPEG_ZIGZAG] = zz
+            coef = nat.reshape(8, 8) * q
+            blk = _DCT_T.T @ coef @ _DCT_T
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    img = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+    return {
+        "width": width,
+        "height": height,
+        "pixels": img[:height, :width].tobytes(),
+    }

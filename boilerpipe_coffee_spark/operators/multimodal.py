@@ -146,10 +146,13 @@ def _decode(kind: str, payload: bytes) -> dict:
         "duration_ms": None,
         "embedding": None,
     }
-    if payload[:8] == mc.PNG_SIG:
+    if payload[:8] == mc.PNG_SIG or payload[:2] == mc.JPEG_SOI:
+        is_png = payload[:8] == mc.PNG_SIG
         if kind != "image":
-            raise ValueError(f"PNG payload declared as {kind}")
-        d = mc.read_png(payload)
+            raise ValueError(
+                f"{'PNG' if is_png else 'JPEG'} payload declared as {kind}"
+            )
+        d = mc.read_png(payload) if is_png else mc.read_jpeg(payload)
         img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
             d["height"], d["width"]
         )
@@ -258,7 +261,8 @@ def _box_resize(img: np.ndarray, rw: int, rh: int) -> np.ndarray:
 
 def resize_images(media: DataFrame, max_px: int = 64) -> DataFrame:
     """Aspect-preserving fit of image payloads into ``max_px``: decode
-    PNG, area-average downsample (never upscale), re-encode PNG.
+    (PNG or baseline JPEG, sniffed from magic), area-average
+    downsample (never upscale), re-encode in the SAME container.
     Undecodable images are dropped (the quarantine surface for media is
     :func:`decode_features`)."""
 
@@ -268,8 +272,14 @@ def resize_images(media: DataFrame, max_px: int = 64) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                payload = bytes(r.payload)
+                is_png = payload[:8] == mc.PNG_SIG
                 try:
-                    d = mc.read_png(bytes(r.payload))
+                    d = (
+                        mc.read_png(payload)
+                        if is_png
+                        else mc.read_jpeg(payload)
+                    )
                 except ValueError:
                     continue
                 w, h = d["width"], d["height"]
@@ -277,9 +287,8 @@ def resize_images(media: DataFrame, max_px: int = 64) -> DataFrame:
                 scale = min(max_px / w, max_px / h, 1.0)
                 rw = max(int(w * scale + 0.5), 1)
                 rh = max(int(h * scale + 0.5), 1)
-                out = mc.write_png(
-                    rw, rh, _box_resize(img, rw, rh).tobytes()
-                )
+                write = mc.write_png if is_png else mc.write_jpeg
+                out = write(rw, rh, _box_resize(img, rw, rh).tobytes())
                 rows.append(
                     {
                         "doc_id": r.doc_id,

@@ -279,3 +279,64 @@ def test_pdf_malformed_objstm_quarantines():
     raw = mc.write_pdf(["only page"], compress=False, object_streams=True)
     with _pytest.raises(ValueError, match="ObjStm"):
         mc.read_pdf(raw.replace(b"/Type /ObjStm /N 4", b"/Type /ObjStm /N 40"))
+
+
+# ------------------------------------------------------------------ #
+# JPEG (baseline DCT, round 8)                                         #
+# ------------------------------------------------------------------ #
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (8, 8), (17, 9), (63, 8), (40, 40)])
+def test_jpeg_round_trip_smooth(w, h):
+    """JPEG is lossy: round-trip asserts exact dimensions and a small
+    mean error on smooth content (Annex K table quantization)."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = (64 + x * 2 + y).clip(0, 255).astype(np.uint8)
+    d = mc.read_jpeg(mc.write_jpeg(w, h, img.tobytes()))
+    assert (d["width"], d["height"]) == (w, h)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w)
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 3.0
+
+
+def test_jpeg_round_trip_noise_stable():
+    """Full-range noise exercises dense AC coefficients (ZRL/EOB
+    paths); a second encode of the decode must be near-stable (the
+    coefficients are already on the quantization lattice)."""
+    img = RNG.randint(0, 256, (40, 56)).astype(np.uint8)
+    d = mc.read_jpeg(mc.write_jpeg(56, 40, img.tobytes()))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(40, 56)
+    d2 = mc.read_jpeg(mc.write_jpeg(56, 40, d["pixels"]))
+    g2 = np.frombuffer(d2["pixels"], dtype=np.uint8).reshape(40, 56)
+    assert np.abs(g2.astype(int) - got.astype(int)).mean() < 1.0
+
+
+def test_jpeg_rejects_unsupported_and_corrupt():
+    buf = mc.write_jpeg(16, 16, bytes(256))
+    with pytest.raises(ValueError, match="SOI"):
+        mc.read_jpeg(b"notajpeg")
+    # progressive frame marker -> explicit unsupported, never misdecode
+    with pytest.raises(ValueError, match="SOF2"):
+        mc.read_jpeg(buf.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # multi-component (color) frames are out of declared scope
+    bad = bytearray(buf)
+    sof = bad.index(b"\xff\xc0")
+    bad[sof + 9] = 3  # ncomp
+    with pytest.raises(ValueError, match="component"):
+        mc.read_jpeg(bytes(bad))
+    with pytest.raises(ValueError):
+        mc.read_jpeg(buf[: len(buf) // 2])
+
+
+def test_jpeg_truncation_never_leaks():
+    """The _parser contract: every truncation point yields ValueError,
+    never struct.error/IndexError (the quarantine path's guarantee)."""
+    buf = mc.write_jpeg(24, 16, RNG.randint(0, 256, 384).astype(np.uint8).tobytes())
+    for cut in range(2, len(buf), 7):
+        try:
+            mc.read_jpeg(buf[:cut])
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(
+                f"read_jpeg leaked {type(e).__name__} at cut {cut}: {e}"
+            )

@@ -794,3 +794,49 @@ def test_pack_slices_large_clustered_ids(spark):
             )
         s += n
     assert out == sorted(want)
+
+
+def test_multimodal_jpeg_decode_and_resize(spark):
+    """JPEG payloads (round 8) flow through the same Spark plumbing as
+    PNG: decode_features extracts real dimensions/embedding, corrupt
+    or mis-declared JPEG rows quarantine, and resize_images re-encodes
+    in the SAME container (JPEG in -> JPEG out)."""
+    import numpy as np
+    import pandas as pd
+
+    from boilerpipe_coffee_spark.operators import media_codecs as mc
+    from boilerpipe_coffee_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_features,
+        resize_images,
+    )
+
+    rng = np.random.RandomState(99)
+    img = (rng.randint(0, 64, (48, 32)) + 96).astype(np.uint8)
+    jpg = mc.write_jpeg(32, 48, img.tobytes())
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d1", "d1"],
+            "media_ref": ["j1", "j2", "j3"],
+            "kind": ["image", "image", "audio"],
+            "payload": [
+                jpg,
+                jpg[: len(jpg) // 2],  # truncated -> quarantine
+                jpg,  # JPEG declared as audio -> quarantine
+            ],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    feats = {r.media_ref: r for r in decode_features(media).collect()}
+    assert (feats["j1"].width, feats["j1"].height) == (32, 48)
+    assert feats["j1"].embedding is not None
+    for bad in ("j2", "j3"):
+        assert feats[bad].n_bytes is None, bad
+
+    resized = {r.media_ref: r for r in resize_images(media, max_px=16).collect()}
+    # only the good row survives (quarantine surface is decode_features)
+    assert set(resized) == {"j1"}
+    r = resized["j1"]
+    assert (r.resized_w, r.resized_h) == (11, 16)
+    d = mc.read_jpeg(bytes(r.payload))  # same container out
+    assert (d["width"], d["height"]) == (11, 16)
