@@ -59,7 +59,7 @@ def _set_sizes(e: int, n: int, x: int) -> None:
     E_EXACT, N_NEAR, X_NOVEL = e, n, x
 
 
-def build_batch(prior_out: str, base: str) -> str:
+def build_batch(prior_out: str, base: str, tag: str = "") -> str:
     """Write the v2 batch as <base>/docs/documents.parquet; returns
     the corpus dir.  Driver-side pandas is fine here -- this is
     one-time corpus GENERATION, not an operator."""
@@ -87,7 +87,7 @@ def build_batch(prior_out: str, base: str) -> str:
 
     ids, texts = [], []
     for i in range(E_EXACT):
-        ids.append(f"e{i:05d}")
+        ids.append(f"e{tag}{i:05d}")
         texts.append(src["text"][i])
     rng = np.random.default_rng(PERTURB_SEED)
     vocab = np.array(VOCAB)
@@ -96,11 +96,11 @@ def build_batch(prior_out: str, base: str) -> str:
         assert len(words) >= 8  # kept docs passed the 30-token gate
         words[2] = vocab[rng.integers(0, len(vocab))]
         words[-3] = vocab[rng.integers(0, len(vocab))]
-        ids.append(f"n{i:05d}")
+        ids.append(f"n{tag}{i:05d}")
         texts.append(" ".join(words))
     novel, _ = make_documents(X_NOVEL, seed=NOVEL_SEED)
     for i, t in enumerate(novel.column("text").to_pylist()):
-        ids.append(f"x{i:05d}")
+        ids.append(f"x{tag}{i:05d}")
         texts.append(t)
 
     pq.write_table(

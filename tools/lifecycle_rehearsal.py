@@ -151,9 +151,14 @@ def expected_keep_set(
     return keep
 
 
-def check_index_roll(spark, v1_out: str, v2_out: str, base: str) -> dict:
-    """The v2 index the JOB rolled forward must checksum-equal a
-    fresh union build at the frozen banding."""
+def check_index_roll(
+    spark, all_outs: "list[str]", rolled_out: str, base: str
+) -> dict:
+    """The index the JOB rolled forward must checksum-equal a fresh
+    build over EVERY version's keepers so far (the whole corpus, not
+    just the last two batches) at the frozen banding."""
+    import functools
+
     from pyspark.sql import functions as F
 
     from boilerpipe_coffee_spark.operators.dedup import (
@@ -162,17 +167,17 @@ def check_index_roll(spark, v1_out: str, v2_out: str, base: str) -> dict:
     )
 
     with open(
-        os.path.join(v1_out, "dedup_index", DEDUP_INDEX_META)
+        os.path.join(all_outs[0], "dedup_index", DEDUP_INDEX_META)
     ) as f:
         v1_meta = json.load(f)
-    union_docs = (
-        spark.read.parquet(os.path.join(v1_out, "training"))
-        .select("doc_id", "text")
-        .unionByName(
-            spark.read.parquet(os.path.join(v2_out, "training")).select(
+    union_docs = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(os.path.join(o, "training")).select(
                 "doc_id", "text"
             )
-        )
+            for o in all_outs
+        ],
     )
     fresh_dir = os.path.join(base, "idx_fresh_union")
     t0 = time.time()
@@ -190,7 +195,7 @@ def check_index_roll(spark, v1_out: str, v2_out: str, base: str) -> dict:
         ).collect()[0]
         return int(r["n"]), int(r["x"] or 0)
 
-    rolled = os.path.join(v2_out, "dedup_index")
+    rolled = os.path.join(rolled_out, "dedup_index")
     for sub in ("hashes", "bands", "band_counts"):
         got, want = checksum(rolled, sub), checksum(fresh_dir, sub)
         rec[f"{sub}_equal"] = got == want
@@ -212,6 +217,8 @@ def main() -> int:
     ap.add_argument("--near", type=int, default=10_000)
     ap.add_argument("--novel", type=int, default=30_000)
     ap.add_argument("--dup-span-frac", type=float, default=0.6)
+    ap.add_argument("--crawls", type=int, default=2,
+                    help="number of incremental crawls after v1")
     args = ap.parse_args()
 
     import incremental_rehearsal as incr
@@ -237,49 +244,65 @@ def main() -> int:
     print(json.dumps({"v1_invariants": inv1}), flush=True)
     bad += [f"v1:{k}" for k, v in inv1.items() if isinstance(v, bool) and not v]
 
-    # ---- phase B: v2 incremental crawl through the same job ----
-    incr._set_sizes(args.exact, args.near, args.novel)
-    batch = incr.build_batch(v1_out, args.base)
-    v2_in = os.path.join(args.base, "interleaved_v2")
-    wrap_interleaved(batch, v2_in)
-    v2_out = os.path.join(args.base, "v2_out")
-    s2 = run_job(
-        v2_in, v2_out, os.path.join(args.base, "ckpt_v2"),
-        8, args.dup_span_frac, incremental=v1_out,
-    )
-    print(json.dumps({"v2_summary": s2}), flush=True)
-    g = incr.grade(batch, v2_out, v1_out, s2)
-    print(json.dumps({"v2_grades": g}), flush=True)
-    bad += [f"v2:{k}" for k, v in g.items() if isinstance(v, bool) and not v]
-
-    # ---- phase C: the two composition equivalences ----
+    # ---- phases B..: repeated incremental crawls, each probing the
+    # PRIOR version's index through the same fully-gated job and
+    # rolling it forward; each crawl gets both equivalence checks ----
     from boilerpipe_coffee_spark.plans import get_spark
 
-    spark = get_spark(app_name="lifecycle-rehearsal-check")
-    want = expected_keep_set(spark, v2_out, v1_out, args.dup_span_frac)
-    got = {
-        r["doc_id"]
-        for r in spark.read.parquet(os.path.join(v2_out, "training"))
-        .select("doc_id")
-        .collect()
-    }
-    keep_eq = {
-        "v2_keep_set_equal": got == want,
-        "v2_kept": len(got),
-        "only_in_job": sorted(got - want)[:10],
-        "only_in_oracle": sorted(want - got)[:10],
-    }
-    print(json.dumps({"keep_set": keep_eq}), flush=True)
-    if not keep_eq["v2_keep_set_equal"]:
-        bad.append("v2_keep_set_equal")
+    incr._set_sizes(args.exact, args.near, args.novel)
+    prior_out = v1_out
+    all_outs = [v1_out]
+    for v in range(2, args.crawls + 2):
+        crawl_base = os.path.join(args.base, f"crawl_v{v}")
+        # per-crawl novel/perturb seeds and an id tag: crawl v3's
+        # novel docs must be genuinely new (a frozen seed would make
+        # them byte-copies of v2's keepers) and ids must not collide
+        # across versions in the union corpus
+        incr.NOVEL_SEED = 777 + v
+        incr.PERTURB_SEED = 778 + 100 * v
+        batch = incr.build_batch(prior_out, crawl_base, tag=str(v))
+        vin = os.path.join(crawl_base, "interleaved")
+        wrap_interleaved(batch, vin)
+        vout = os.path.join(args.base, f"v{v}_out")
+        s = run_job(
+            vin, vout, os.path.join(crawl_base, "ckpt"),
+            8, args.dup_span_frac, incremental=prior_out,
+        )
+        print(json.dumps({f"v{v}_summary": s}), flush=True)
+        g = incr.grade(batch, vout, prior_out, s)
+        print(json.dumps({f"v{v}_grades": g}), flush=True)
+        bad += [
+            f"v{v}:{k}" for k, v_ in g.items()
+            if isinstance(v_, bool) and not v_
+        ]
 
-    roll = check_index_roll(spark, v1_out, v2_out, args.base)
-    print(json.dumps({"index_roll": roll}), flush=True)
-    bad += [
-        k for k, v in roll.items()
-        if isinstance(v, bool) and k.endswith("_equal") and not v
-    ]
-    spark.stop()
+        spark = get_spark(app_name=f"lifecycle-check-v{v}")
+        want = expected_keep_set(spark, vout, prior_out, args.dup_span_frac)
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(vout, "training"))
+            .select("doc_id")
+            .collect()
+        }
+        keep_eq = {
+            "keep_set_equal": got == want,
+            "kept": len(got),
+            "only_in_job": sorted(got - want)[:10],
+            "only_in_oracle": sorted(want - got)[:10],
+        }
+        print(json.dumps({f"v{v}_keep_set": keep_eq}), flush=True)
+        if not keep_eq["keep_set_equal"]:
+            bad.append(f"v{v}_keep_set_equal")
+
+        all_outs.append(vout)
+        roll = check_index_roll(spark, all_outs, vout, crawl_base)
+        print(json.dumps({f"v{v}_index_roll": roll}), flush=True)
+        bad += [
+            f"v{v}:{k}" for k, v_ in roll.items()
+            if isinstance(v_, bool) and k.endswith("_equal") and not v_
+        ]
+        spark.stop()
+        prior_out = vout
 
     print(json.dumps({"bad": bad}), flush=True)
     return 1 if bad else 0
