@@ -433,3 +433,58 @@ def test_banding_stale_epoch_rebuild(spark, tmp_path_factory):
     }
     assert rows["pexact"]["exact_dup_of"] == "d0000"
     assert rows["pnear"]["near_dup_of"] == "d0000"
+
+
+# ------------------------------------------------------------------ #
+# chained fully-gated lifecycle, suite-scale (round 8)                 #
+# ------------------------------------------------------------------ #
+
+
+def test_chained_lifecycle_keep_set_and_roll(spark, tmp_path_factory):
+    """Fast twin of tools/lifecycle_rehearsal.py (500k evidence in
+    BASELINE.md r8): v1 build with EVERY gate on, then a v2
+    incremental re-crawl through the same fully-gated job.  The v2
+    keep-set must equal the operator-level recomputation (the same
+    shared operators, invoked directly -- this pins the job's WIRING:
+    probe persist + components checkpoints + gate order), and the
+    rolled index must checksum-equal a fresh union build.  Shares the
+    checker implementations with the rehearsal tool so the two can
+    never drift."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from lifecycle_rehearsal import check_index_roll, expected_keep_set
+
+    v1 = str(tmp_path_factory.mktemp("lc_v1"))
+    v2 = str(tmp_path_factory.mktemp("lc_v2"))
+    gates = [
+        "--drop-bottom-quality-pct", "5",
+        "--max-dup-span-frac", "0.6",
+        "--scrub-pii", "--emit-dedup-index",
+    ]
+    s1 = _run_job(
+        "--synth", "200", "--output", v1, "--buckets", "4", *gates
+    )
+    assert s1["dup_span_dropped"] >= 0  # gate ran
+    s2 = _run_job(
+        "--synth", "200", "--output", v2, "--buckets", "4",
+        "--incremental", v1, *gates,
+    )
+    # identical re-crawl: every v1 keeper must exact-hit the index
+    assert s2["incr_exact_dup"] >= s1["kept"]
+
+    want = expected_keep_set(spark, v2, v1, 0.6)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(v2, "training"))
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want, (
+        f"job-only={sorted(got - want)[:5]} "
+        f"oracle-only={sorted(want - got)[:5]}"
+    )
+    roll = check_index_roll(
+        spark, [v1, v2], v2, str(tmp_path_factory.mktemp("lc_fresh"))
+    )
+    for sub in ("hashes", "bands", "band_counts"):
+        assert roll[f"{sub}_equal"], roll
+    assert roll["scrubbed"] is True
