@@ -153,6 +153,57 @@ def _extraction_queries() -> dict[str, Callable]:
     def unfiltered(spark, sf_dir):
         return _flagship(spark, "Unfiltered")
 
+    def warc_ingest(spark, sf_dir):
+        """WARC (ISO 28500) ingestion (round 8): fixtures docs
+        flattened to HTML, shipped through gzipped WARC shards (the
+        Common Crawl record-per-member layout), read + re-split
+        distributed, then the SAME extraction pipeline; rows-only
+        (binary container pipeline) -- byte-level equality vs the
+        direct interleaved path is test-asserted in
+        tests/test_warc.py."""
+        import os
+
+        from boilerpipe_coffee_spark.fixtures import generate_doc
+        from boilerpipe_coffee_spark.operators import extract
+        from boilerpipe_coffee_spark.sources.warc import (
+            read_warc,
+            spans_to_html,
+            warc_to_interleaved,
+            write_warc,
+        )
+
+        wdir = "/tmp/bpc_warc_query_v1"
+        if not os.path.exists(os.path.join(wdir, "seg-3.warc.gz")):
+            os.makedirs(wdir, exist_ok=True)
+            docs = [generate_doc(i, seed=42) for i in range(120)]
+            for shard in range(4):
+                recs = [
+                    (d["doc_id"], spans_to_html(d))
+                    for d in docs[shard * 30 : (shard + 1) * 30]
+                ]
+                with open(
+                    os.path.join(wdir, f"seg-{shard}.warc.gz"), "wb"
+                ) as f:
+                    f.write(write_warc(recs))
+        docs = warc_to_interleaved(
+            read_warc(spark, os.path.join(wdir, "*.warc.gz"))
+        ).filter(F.col("error").isNull())
+        out = extract(docs.select("doc_id", "spans"), "ArticleExtractor")
+        return (
+            out.select(
+                "doc_id", "title", "error",
+                F.posexplode_outer("spans").alias("pos", "s"),
+            )
+            .select(
+                "doc_id", "title", "error",
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.order").alias("out_order"),
+            )
+            .orderBy("doc_id", "out_order")
+        )
+
     def pdf_ingest(spark, sf_dir):
         """PDF/layout-parse ingestion (north rule): real text PDFs ->
         interleaved spans -> the SAME extraction pipeline; rows-only
@@ -184,6 +235,7 @@ def _extraction_queries() -> dict[str, Callable]:
 
     return {
         "pdf_ingest_extract": pdf_ingest,
+        "warc_ingest_extract": warc_ingest,
         "extract_unfiltered_spans": unfiltered,
         "extract_article_spans": article,
         "extract_default_spans": default,
