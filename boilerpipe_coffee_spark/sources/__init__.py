@@ -93,6 +93,36 @@ def read_interleaved(spark: SparkSession, source: str) -> DataFrame:
     return df.select("doc_id", "spans")
 
 
+def read_docs(
+    spark: SparkSession, source: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Interleaved docs from any supported container -- the jobs'
+    ``--input-format`` dispatcher:
+
+    - ``parquet`` (default): table/path via :func:`read_interleaved`
+      (Iceberg when the catalog is live).
+    - ``jsonl``: the golden interchange format (FAILFAST).
+    - ``warc``: crawl shards (``*.warc.gz`` glob) via
+      :mod:`.warc` -- response records re-split into interleaved
+      spans; records the WARC layer quarantined (corrupt gzip,
+      truncated records, chunked encoding) carry no spans and are
+      dropped HERE, before extraction (extraction's own quarantine
+      contract covers parse errors, not container damage)."""
+    if fmt == "parquet":
+        return read_interleaved(spark, source)
+    if fmt == "jsonl":
+        return read_interleaved_jsonl(spark, source)
+    if fmt == "warc":
+        from .warc import read_warc, warc_to_interleaved
+
+        return (
+            warc_to_interleaved(read_warc(spark, source))
+            .filter(F.col("error").isNull())
+            .select("doc_id", "spans")
+        )
+    raise ValueError(f"unknown input format {fmt!r}")
+
+
 def read_interleaved_jsonl(spark: SparkSession, path: str) -> DataFrame:
     """Interleaved documents from JSONL (optionally .gz) -- the
     format the golden corpora and tools/oracle.js exchange

@@ -23,6 +23,11 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="interleaved-doc table/path")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=("parquet", "jsonl", "warc"),
+                    help="container for --input: parquet table/path "
+                         "(default), golden-interchange jsonl, or WARC "
+                         "crawl shards (*.warc.gz glob)")
     ap.add_argument("--synth", type=int, default=0,
                     help="generate N synthetic docs instead of reading --input")
     ap.add_argument("--output", required=True)
@@ -47,12 +52,12 @@ def main() -> None:
     )
 
     from boilerpipe_coffee_spark.operators.pipeline import run_partitioned
-    from boilerpipe_coffee_spark.sources import read_interleaved, synth_interleaved
+    from boilerpipe_coffee_spark.sources import read_docs, synth_interleaved
 
     if args.synth:
         docs = synth_interleaved(spark, args.synth, seed=42)
     else:
-        docs = read_interleaved(spark, args.input)
+        docs = read_docs(spark, args.input, args.input_format)
 
     summary = run_partitioned(
         spark, docs, args.output, args.extractor, n_buckets=args.buckets,

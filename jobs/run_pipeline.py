@@ -67,6 +67,11 @@ N_OUT_BUCKETS = 8
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="interleaved-doc table/path")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=("parquet", "jsonl", "warc"),
+                    help="container for --input: parquet table/path "
+                         "(default), golden-interchange jsonl, or WARC "
+                         "crawl shards (*.warc.gz glob)")
     ap.add_argument("--synth", type=int, default=0)
     ap.add_argument("--output", required=True)
     ap.add_argument("--extractor", default="ArticleExtractor")
@@ -145,14 +150,14 @@ def main() -> None:
         quality_gate,
     )
     from boilerpipe_coffee_spark.sources import (
-        read_interleaved,
+        read_docs,
         synth_interleaved,
     )
 
     if args.synth:
         docs = synth_interleaved(spark, args.synth, seed=42)
     else:
-        docs = read_interleaved(spark, args.input)
+        docs = read_docs(spark, args.input, args.input_format)
 
     # per-stage wall clock: each tick closes the previous stage.  The
     # near_dup tick matters most -- the components loop runs in EAGER

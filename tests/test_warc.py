@@ -139,3 +139,42 @@ def test_warc_extraction_equals_direct_path(spark, tmp_path):
         for r in df.collect()
     )
     assert flat(got) == flat(want)
+
+
+def test_run_extract_accepts_warc_input(tmp_path):
+    """jobs/run_extract.py --input-format warc: the production job
+    surface reads crawl shards directly; output doc count equals the
+    shipped docs (quarantines are reference-crash parity, not
+    container loss)."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = [generate_doc(i, seed=42) for i in range(60)]
+    for shard in range(2):
+        recs = [
+            (d["doc_id"], spans_to_html(d))
+            for d in docs[shard * 30 : (shard + 1) * 30]
+        ]
+        with open(tmp_path / f"seg-{shard}.warc.gz", "wb") as f:
+            f.write(write_warc(recs))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = str(tmp_path / "out")
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "run_extract.py"),
+            "--input", str(tmp_path / "*.warc.gz"),
+            "--input-format", "warc",
+            "--output", out, "--buckets", "2",
+        ],
+        cwd=repo, capture_output=True, text=True, timeout=900, env=env,
+    )
+    lines = [
+        ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    assert lines, proc.stderr[-2000:]
+    s = json.loads(lines[-1])
+    assert s["docs_out"] == 60
+    assert s["buckets_run"] == 2
