@@ -351,6 +351,7 @@ def main() -> None:
     # batch would silently forget every v1 doc; update_dedup_index
     # merges without re-signing the existing corpus (batch-cost only)
     dedup_index_dir = None
+    index_meta = None
     if args.emit_dedup_index:
         dedup_index_dir = os.path.join(args.output, "dedup_index")
         kept_docs = spark.read.parquet(training_dir).select(
@@ -361,7 +362,7 @@ def main() -> None:
                 update_dedup_index,
             )
 
-            update_dedup_index(
+            index_meta = update_dedup_index(
                 kept_docs,
                 os.path.join(args.incremental, "dedup_index"),
                 dedup_index_dir,
@@ -440,6 +441,11 @@ def main() -> None:
         summary.update(incr)
     if dedup_index_dir is not None:
         summary["dedup_index"] = dedup_index_dir
+    if index_meta is not None:
+        # the epoch signal: corpus growth moved minhash_banding past
+        # the index's frozen (b, r) -- schedule a full rebuild at the
+        # next version roll (tools/banding_epoch_rehearsal.py)
+        summary["banding_stale"] = index_meta["banding_stale"]
     if pii_totals is not None:
         summary["pii_scrubbed"] = pii_totals
     if exact_kept is not None:

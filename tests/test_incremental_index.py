@@ -470,6 +470,8 @@ def test_chained_lifecycle_keep_set_and_roll(spark, tmp_path_factory):
     )
     # identical re-crawl: every v1 keeper must exact-hit the index
     assert s2["incr_exact_dup"] >= s1["kept"]
+    # the roll surfaces the epoch signal (fresh at this size)
+    assert s2["banding_stale"] is False
 
     want = expected_keep_set(spark, v2, v1, 0.6)
     got = {
