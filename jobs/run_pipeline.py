@@ -270,14 +270,27 @@ def main() -> None:
     # stage 4c: cross-doc duplicated-span (boilerplate) gate over the
     # keep-set.  The flagged frame is O(dropped docs); persist it so
     # the |tokens|-row dup computation runs once, not once for the
-    # count and again under the anti-join.
+    # count and again under the anti-join.  The TRAINING frame is also
+    # persisted across the gate: its lineage tail (the features-labels
+    # keep_final join) would otherwise re-evaluate once per gram
+    # consumer inside dup_span_frac_df and again under the write's
+    # anti-join -- measured at 500k: gate 201->89 s, write 86->31 s,
+    # untouched stages flat (BASELINE.md r8).  Only the gram
+    # INTERMEDIATE stays recompute
+    # (the dup_span_ab.py verdict); the gate's input frame is the
+    # cheap-to-cache, expensive-to-recompute side.
     dup_span_dropped = None
     flagged = None
+    training_pinned = None
     if args.max_dup_span_frac is not None:
+        from pyspark import StorageLevel
+
         from boilerpipe_coffee_spark.operators.textstats import (
             dup_span_frac_df,
         )
 
+        training = training.persist(StorageLevel.MEMORY_AND_DISK)
+        training_pinned = training
         flagged = (
             dup_span_frac_df(training.select("doc_id", "text"))
             .filter(F.col("dup_frac") > args.max_dup_span_frac)
@@ -328,6 +341,8 @@ def main() -> None:
         decisions.unpersist()
     if flagged is not None:
         flagged.unpersist()
+    if training_pinned is not None:
+        training_pinned.unpersist()
 
     kept = spark.read.parquet(training_dir).count()
 
