@@ -362,6 +362,7 @@ EXTRA = [
     "simhash_chunk_stats",  # r5 monitoring companion to the chunk cap
     # r8: streaming_incremental_dedup + dup_span_stats promoted into
     # the window (see the round-8 rotation in DEMOTED)
+    "dup_span_scrub",  # r8 late: the dup-span REMOVAL transform
 ]
 
 

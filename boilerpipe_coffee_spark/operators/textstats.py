@@ -753,6 +753,158 @@ ORDER BY s.doc_id
 
 DUP_SPAN_SQL = _dup_span_sql()
 
+
+def dup_span_scrub(spark, sf_dir):
+    """Transformation counterpart of :func:`dup_span_stats`: REMOVE
+    every token covered by a cross-document duplicated
+    word-``DUP_SPAN_W``-gram window (boilerplate, licenses, quoted
+    passages) and emit the scrubbed text — the exact-substring-removal
+    pass large training pipelines run between exact dedup and near-dup
+    (RefinedWeb-style), where the stats op only measures and the
+    pipeline gate only drops whole docs.
+
+    Scale shape: the same single |tokens|-row shuffle on the gram hash
+    as the stats op (map-side-combinable min/max distinct-docs test),
+    one per-doc collect of duplicated positions (bounded by the doc's
+    own window count — same size class as the doc), one equi-join back
+    to the docs, and a vectorized Arrow scrub pass (interval-union via
+    prefix sum; no per-token Python)."""
+    return dup_span_scrub_df(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).orderBy("doc_id")
+
+
+def dup_span_scrub_df(
+    df: DataFrame, text_col: str = "text", w: int = None
+) -> DataFrame:
+    """(doc_id, <text_col>) -> (doc_id, n_tokens, removed_tokens,
+    scrubbed_text): drop every token position covered by ANY
+    duplicated window (window at pos p covers tokens p..p+w-1;
+    overlapping windows union), rejoin survivors with single spaces.
+    Output text is in the shared tokenizer's normal form (lowercase,
+    ``[a-z0-9]+`` tokens, space-joined) on BOTH engines — byte-equal
+    to the DuckDB oracle's ``string_agg``."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _doc_id_sql_type
+
+    w = w or DUP_SPAN_W
+    base = df.select("doc_id", F.col(text_col).alias("text"))
+    ex = _gram_rows_df(base, w)
+    dup = (
+        ex.groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+    dpos = (
+        ex.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dps"))
+    )
+    joined = base.join(dpos, "doc_id", "left")
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def scrub_fn(batches):
+        for pdf in batches:
+            ids, n_toks, removed, texts = [], [], [], []
+            for doc_id, text, dps in zip(
+                pdf["doc_id"], pdf["text"], pdf["dps"]
+            ):
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                n = len(toks)
+                if dps is None or len(dps) == 0:
+                    kept = toks
+                else:
+                    # interval union without materializing w rows per
+                    # window: +1 at each start, -1 past each end,
+                    # prefix-sum > 0 = covered
+                    delta = np.zeros(n + 1, dtype=np.int64)
+                    p = np.asarray(dps, dtype=np.int64)
+                    np.add.at(delta, p, 1)
+                    np.add.at(delta, np.minimum(p + w, n), -1)
+                    covered = np.cumsum(delta[:n]) > 0
+                    kept = [t for t, c in zip(toks, covered) if not c]
+                ids.append(doc_id)
+                n_toks.append(n)
+                removed.append(n - len(kept))
+                texts.append(" ".join(kept))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": n_toks,
+                    "removed_tokens": removed,
+                    "scrubbed_text": texts,
+                }
+            )
+
+    schema = (
+        "doc_id "
+        + _doc_id_sql_type(base)
+        + ", n_tokens bigint, removed_tokens bigint, scrubbed_text string"
+    )
+    return joined.mapInPandas(scrub_fn, schema)
+
+
+def _dup_span_scrub_sql(max_tokens: int = 1000000) -> str:
+    from ..functions import TOKENS_DUCK, h64_duck, shingles_duck
+
+    # token positions via the same static-range join idiom as
+    # _dup_span_sql; one bound covers both joins (len(sh) < len(toks))
+    # and arms the same loud-truncation guard
+    return f"""
+WITH base AS (
+  SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {shingles_duck(DUP_SPAN_W)} AS sh FROM documents
+), ex AS (
+  SELECT s.doc_id, t.i AS pos, {h64_duck('s.sh[t.i]')} AS g
+  FROM sh s JOIN range(1, {max_tokens}) t(i) ON t.i <= len(s.sh)
+), dup AS (
+  SELECT g FROM ex GROUP BY g HAVING min(doc_id) <> max(doc_id)
+), dp AS (
+  SELECT doc_id, pos FROM ex JOIN dup USING (g)
+), tok AS (
+  SELECT b.doc_id, t.i AS i, b.toks[t.i] AS tok
+  FROM base b JOIN range(1, {max_tokens}) t(i) ON t.i <= len(b.toks)
+), kept AS (
+  -- 1-based: the window at dp.pos covers tokens dp.pos..dp.pos+w-1,
+  -- so token i is covered iff some duplicated pos is in [i-w+1, i]
+  SELECT k.doc_id, k.i, k.tok
+  FROM tok k
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dp
+    WHERE dp.doc_id = k.doc_id
+      AND dp.pos BETWEEN k.i - {DUP_SPAN_W - 1} AND k.i
+  )
+), ka AS (
+  SELECT doc_id, count(*)::BIGINT AS kept_n,
+         string_agg(tok, ' ' ORDER BY i) AS scrubbed_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, len(b.toks)::BIGINT AS n_tokens,
+       (len(b.toks) - coalesce(ka.kept_n, 0))::BIGINT AS removed_tokens,
+       coalesce(ka.scrubbed_text, '') AS scrubbed_text
+FROM base b LEFT JOIN ka USING (doc_id)
+CROSS JOIN (
+  SELECT CASE WHEN max(len(toks)) >= {max_tokens}
+              THEN error('dup_span_scrub oracle: a doc exceeds the '
+                         || '{max_tokens}-token static range join; '
+                         || 'raise the bound')
+              ELSE 1 END AS ok
+  FROM base
+) guard
+WHERE guard.ok = 1
+ORDER BY b.doc_id
+"""
+
+
+DUP_SPAN_SCRUB_SQL = _dup_span_scrub_sql()
+
 CONTEXT_LEN = 2048
 
 
@@ -1321,6 +1473,7 @@ QUERIES = {
     "quality_histogram_quantiles": quality_histogram_quantiles,
     "contamination_check": contamination_check,
     "dup_span_stats": dup_span_stats,
+    "dup_span_scrub": dup_span_scrub,
     "packing_stats": packing_stats,
     "top_terms": top_terms,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1340,6 +1493,7 @@ ORACLES = {
     "quality_histogram_quantiles": QUALITY_QUANTILES_SQL,
     "contamination_check": CONTAMINATION_SQL,
     "dup_span_stats": DUP_SPAN_SQL,
+    "dup_span_scrub": DUP_SPAN_SCRUB_SQL,
     "packing_stats": PACKING_SQL,
     "top_terms": TOP_TERMS_SQL,
     "tfidf_top_terms": TFIDF_SQL,

@@ -9,8 +9,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from boilerpipe_coffee_spark.operators.textstats import (
+    DUP_SPAN_SCRUB_SQL,
     DUP_SPAN_SQL,
     DUP_SPAN_W,
+    dup_span_scrub,
     dup_span_stats,
 )
 
@@ -86,6 +88,96 @@ def test_planted_oracle_parity(spark, planted_dir):
     )
     con.close()
     assert got == want
+
+
+def test_planted_scrub_removes_exactly_the_shared_spans(spark, planted_dir):
+    """Only windows FULLY inside a shared span are duplicated (the
+    straddling windows mix doc-unique filler), and their coverage
+    union is exactly the span's SPAN_LEN tokens -- so the scrub must
+    remove precisely the shared spans and keep every filler token."""
+    got = {r.doc_id: r for r in dup_span_scrub(spark, planted_dir).collect()}
+
+    def filler(tag, n=10):
+        return " ".join(f"{tag}f{i}" for i in range(n))
+
+    for d, tag in ((1, "a"), (2, "b")):
+        assert got[d].n_tokens == 60
+        assert got[d].removed_tokens == 2 * SPAN_LEN, got[d]
+        want = " ".join(filler(f"{tag}{i}") for i in (1, 2, 3))
+        assert got[d].scrubbed_text == want
+    # unique doc: untouched, already in tokenizer normal form
+    assert got[3].removed_tokens == 0
+    assert got[3].scrubbed_text == " ".join(f"c{i}" for i in range(40))
+    # within-doc repetition alone is NOT cross-doc duplication
+    assert got[4].removed_tokens == 0
+
+
+def test_planted_scrub_oracle_parity(spark, planted_dir):
+    got = sorted(
+        tuple(r) for r in dup_span_scrub(spark, planted_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted_dir}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(x.item() if hasattr(x, "item") else x for x in row)
+        for row in con.sql(DUP_SPAN_SCRUB_SQL)
+        .df()
+        .itertuples(index=False, name=None)
+    )
+    con.close()
+    assert got == want
+
+
+def test_scrub_full_doc_removal(spark, tmp_path):
+    """Two byte-identical docs: every window is duplicated, coverage
+    is the whole doc -> scrubbed_text is '' on both engines (the
+    all-removed edge the LEFT-JOIN coalesce branch handles)."""
+    text = " ".join(f"w{i}" for i in range(DUP_SPAN_W + 5))
+    d = _write_documents(tmp_path, [(1, text), (2, text)])
+    got = {r.doc_id: r for r in dup_span_scrub(spark, d).collect()}
+    for i in (1, 2):
+        assert got[i].removed_tokens == got[i].n_tokens == DUP_SPAN_W + 5
+        assert got[i].scrubbed_text == ""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = con.sql(DUP_SPAN_SCRUB_SQL).fetchall()
+    con.close()
+    assert sorted(tuple(r) for r in got.values()) == sorted(want)
+
+
+def test_scrub_overlapping_spans_union(spark, tmp_path):
+    """Two docs share overlapping duplicated regions (doc B contains a
+    LONGER shared run than doc C): coverage is the UNION of window
+    intervals, never double-counted."""
+    # B shares tokens 0..19 with A's head; C shares tokens 8..27 of A.
+    a_toks = [f"x{i}" for i in range(28)]
+    b = " ".join(a_toks[:20]) + " " + " ".join(f"b{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10)) + " " + " ".join(a_toks[8:28])
+    a = " ".join(a_toks)
+    d = _write_documents(tmp_path, [(1, a), (2, b), (3, c)])
+    got = {r.doc_id: r for r in dup_span_scrub(spark, d).collect()}
+    # A: windows 0..8 (shared with B) and 8..16 (shared with C) are
+    # duplicated; union covers tokens 0..27 = the whole doc
+    assert got[1].removed_tokens == 28, got[1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(x.item() if hasattr(x, "item") else x for x in row)
+        for row in con.sql(DUP_SPAN_SCRUB_SQL)
+        .df()
+        .itertuples(index=False, name=None)
+    )
+    con.close()
+    assert sorted(tuple(r) for r in got.values()) == want
 
 
 def test_oracle_guard_fires_on_mega_doc(planted_dir):
