@@ -1031,6 +1031,7 @@ def build_dedup_index(
     bucket_cap: int = BUCKET_CAP,
     n_buckets: int = 8,
     scrubbed: bool = False,
+    dup_span_scrubbed: bool = False,
 ) -> dict:
     """Materialize the dedup index for an EXISTING (already
     deduplicated) corpus -- the thing a recurring-crawl operator
@@ -1062,7 +1063,17 @@ def build_dedup_index(
     hashing/banding, so a re-fetched PII-bearing doc still exact-
     matches its corpus twin.  The flag is frozen in the index like the
     banding -- representation is an index property, not a per-probe
-    choice."""
+    choice.
+
+    ``dup_span_scrubbed=True`` records that ``docs.text`` had cross-
+    doc duplicated spans SPLICED OUT (the pipeline's
+    ``--scrub-dup-spans`` stage).  Unlike the PII chain this transform
+    is corpus-dependent, so the probe side CANNOT replay it on an
+    incoming batch: re-fetches of boilerplate-bearing docs will miss
+    the exact hash and may degrade to (or below) near-dup banding.
+    The flag exists so :func:`update_dedup_index` refuses to merge
+    mismatched representations -- the silent-degradation failure mode
+    ADVICE r7 flagged for the PII variant."""
     import json
     import os
 
@@ -1119,6 +1130,7 @@ def build_dedup_index(
         # with an explicit schema instead of file inference
         "doc_id_type": docs.schema["doc_id"].dataType.simpleString(),
         "scrubbed": bool(scrubbed),
+        "dup_span_scrubbed": bool(dup_span_scrubbed),
     }
     with open(os.path.join(index_dir, DEDUP_INDEX_META), "w") as f:
         json.dump(meta, f)
@@ -1143,6 +1155,7 @@ def update_dedup_index(
     prior_dir: str,
     out_dir: str,
     scrubbed: "bool | None" = None,
+    dup_span_scrubbed: "bool | None" = None,
 ) -> dict:
     """Roll the corpus-version index forward: prior index + the batch
     of NEWLY KEPT docs -> the next version's index, WITHOUT re-signing
@@ -1196,6 +1209,17 @@ def update_dedup_index(
             f"built scrubbed={prior.get('scrubbed', False)} but this "
             f"run supplies scrubbed={bool(scrubbed)} docs -- mixing "
             "representations silently breaks exact-hash dedup"
+        )
+    if dup_span_scrubbed is not None and bool(
+        dup_span_scrubbed
+    ) != prior.get("dup_span_scrubbed", False):
+        raise ValueError(
+            f"text representation mismatch: index at {prior_dir} was "
+            f"built dup_span_scrubbed="
+            f"{prior.get('dup_span_scrubbed', False)} but this run "
+            f"supplies dup_span_scrubbed={bool(dup_span_scrubbed)} "
+            "docs -- mixing representations silently breaks "
+            "exact-hash dedup"
         )
     spark = new_docs.sparkSession
     tag_p, tag_o = _index_tag(prior_dir), _index_tag(out_dir)
@@ -1279,6 +1303,7 @@ def update_dedup_index(
         "doc_id_type": batch_dt,
         "banding_stale": minhash_banding(n_docs) != banding,
         "scrubbed": prior.get("scrubbed", False),
+        "dup_span_scrubbed": prior.get("dup_span_scrubbed", False),
     }
     with open(os.path.join(out_dir, DEDUP_INDEX_META), "w") as f:
         json.dump(meta, f)

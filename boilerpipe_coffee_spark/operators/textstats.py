@@ -775,15 +775,31 @@ def dup_span_scrub(spark, sf_dir):
 
 
 def dup_span_scrub_df(
-    df: DataFrame, text_col: str = "text", w: int = None
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = None,
+    normal_form: bool = True,
 ) -> DataFrame:
     """(doc_id, <text_col>) -> (doc_id, n_tokens, removed_tokens,
     scrubbed_text): drop every token position covered by ANY
     duplicated window (window at pos p covers tokens p..p+w-1;
-    overlapping windows union), rejoin survivors with single spaces.
-    Output text is in the shared tokenizer's normal form (lowercase,
-    ``[a-z0-9]+`` tokens, space-joined) on BOTH engines — byte-equal
-    to the DuckDB oracle's ``string_agg``."""
+    overlapping windows union).  ``n_tokens`` is the PRE-scrub count;
+    post-scrub is ``n_tokens - removed_tokens``.
+
+    ``normal_form=True`` (the oracle-backed driver row): output text
+    is the shared tokenizer's normal form (lowercase, ``[a-z0-9]+``
+    tokens, space-joined) on BOTH engines — byte-equal to the DuckDB
+    oracle's ``string_agg``.
+
+    ``normal_form=False`` (the pipeline's training-text mode): the
+    ORIGINAL bytes are preserved — covered token runs are spliced out
+    of the untouched text (cut extends through the following
+    separator run, or the preceding one when the run ends the doc),
+    so case, punctuation and spacing of everything kept survive
+    verbatim; a doc with no duplicated windows comes back
+    byte-identical.  No SQL oracle for this mode (character-offset
+    splicing is not expressible in the shared DuckDB surface); its
+    gate is the planted byte-equality tests."""
     import re
 
     import numpy as np
@@ -808,6 +824,43 @@ def dup_span_scrub_df(
     joined = base.join(dpos, "doc_id", "left")
 
     tok_re = re.compile(r"[^a-z0-9]+")
+    tok_find_re = re.compile(r"[a-zA-Z0-9]+")
+
+    def _covered(dps, n):
+        # interval union without materializing w rows per window:
+        # +1 at each start, -1 past each end, prefix-sum > 0 = covered
+        delta = np.zeros(n + 1, dtype=np.int64)
+        p = np.asarray(dps, dtype=np.int64)
+        np.add.at(delta, p, 1)
+        np.add.at(delta, np.minimum(p + w, n), -1)
+        return np.cumsum(delta[:n]) > 0
+
+    def _splice(text, spans, covered):
+        # cut each maximal covered token run from the ORIGINAL bytes;
+        # the cut extends to the next token's start (eating the
+        # separator run), or back to the previous token's end when
+        # the run closes the doc
+        n = len(spans)
+        pieces, cursor, i = [], 0, 0
+        while i < n:
+            if not covered[i]:
+                i += 1
+                continue
+            j = i
+            while j + 1 < n and covered[j + 1]:
+                j += 1
+            s = spans[i][0]
+            if j + 1 < n:
+                e = spans[j + 1][0]
+            else:
+                e = len(text)
+                if i > 0:
+                    s = spans[i - 1][1]
+            pieces.append(text[cursor:s])
+            cursor = e
+            i = j + 1
+        pieces.append(text[cursor:])
+        return "".join(pieces)
 
     def scrub_fn(batches):
         for pdf in batches:
@@ -815,24 +868,39 @@ def dup_span_scrub_df(
             for doc_id, text, dps in zip(
                 pdf["doc_id"], pdf["text"], pdf["dps"]
             ):
-                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                raw = text or ""
+                toks = [t for t in tok_re.split(raw.lower()) if t]
+                splice = not normal_form
+                if splice:
+                    # offsets must index the ORIGINAL bytes (lower()
+                    # is not length-preserving for some Unicode), so
+                    # match case-insensitively on raw; if exotic case
+                    # folding makes that token stream diverge from
+                    # the gram stage's lower-then-split stream, fall
+                    # back to normal form for THIS doc — misaligned
+                    # positions would cut the wrong tokens
+                    spans = [
+                        m.span() for m in tok_find_re.finditer(raw)
+                    ]
+                    if [raw[s:e].lower() for s, e in spans] != toks:
+                        splice = False
                 n = len(toks)
                 if dps is None or len(dps) == 0:
-                    kept = toks
+                    n_rm = 0
+                    out = raw if splice else " ".join(toks)
                 else:
-                    # interval union without materializing w rows per
-                    # window: +1 at each start, -1 past each end,
-                    # prefix-sum > 0 = covered
-                    delta = np.zeros(n + 1, dtype=np.int64)
-                    p = np.asarray(dps, dtype=np.int64)
-                    np.add.at(delta, p, 1)
-                    np.add.at(delta, np.minimum(p + w, n), -1)
-                    covered = np.cumsum(delta[:n]) > 0
-                    kept = [t for t, c in zip(toks, covered) if not c]
+                    covered = _covered(dps, n)
+                    n_rm = int(covered.sum())
+                    if splice:
+                        out = _splice(raw, spans, covered)
+                    else:
+                        out = " ".join(
+                            t for t, c in zip(toks, covered) if not c
+                        )
                 ids.append(doc_id)
                 n_toks.append(n)
-                removed.append(n - len(kept))
-                texts.append(" ".join(kept))
+                removed.append(n_rm)
+                texts.append(out)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

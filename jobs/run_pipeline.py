@@ -124,6 +124,16 @@ def main() -> None:
         "chunking)",
     )
     ap.add_argument(
+        "--scrub-dup-spans", action="store_true",
+        help="instead of (or after) dropping whole docs, SPLICE "
+        "cross-doc duplicated word-12-gram spans out of the kept "
+        "docs' text, preserving the surrounding bytes verbatim "
+        "(RefinedWeb-style exact-substring removal; runs AFTER the "
+        "--max-dup-span-frac drop gate, so mostly-duplicated docs "
+        "can be dropped rather than hollowed out); n_tokens is "
+        "recomputed on the scrubbed text, rows are never dropped",
+    )
+    ap.add_argument(
         "--scrub-pii", action="store_true",
         help="redact PII/links (the shared PII_CLASSES chain) from "
         "the kept docs BEFORE chunking/packing; per-class totals land "
@@ -300,6 +310,53 @@ def main() -> None:
         dup_span_dropped = flagged.count()
         training = training.join(flagged, "doc_id", "left_anti")
         tick("dup_span_gate")
+
+    # stage 4d: splice cross-doc duplicated spans OUT of the surviving
+    # keep-set text (--scrub-dup-spans, RefinedWeb-style exact-
+    # substring removal).  Runs AFTER the drop gate so mostly-
+    # duplicated docs are dropped whole rather than hollowed out;
+    # never drops rows, so the summary's keep arithmetic is untouched.
+    # The scrub output carries the full text (cheap to cache,
+    # expensive to recompute -- the same reasoning as the gate's
+    # training pin), so it is pinned across the stats agg + the
+    # training write.  Post-scrub n_tokens is exact arithmetic
+    # (n_tokens - removed_tokens): the splice removes exactly the
+    # covered tokens and never merges kept neighbours (the cut always
+    # leaves the separator run that preceded the span).
+    dup_scrub_stats = None
+    scrub_pin = None
+    if args.scrub_dup_spans:
+        from pyspark import StorageLevel
+
+        from boilerpipe_coffee_spark.operators.textstats import (
+            dup_span_scrub_df,
+        )
+
+        if training_pinned is None:
+            training = training.persist(StorageLevel.MEMORY_AND_DISK)
+            training_pinned = training
+        scrub_pin = dup_span_scrub_df(
+            training.select("doc_id", "text"), normal_form=False
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        row = scrub_pin.agg(
+            F.sum((F.col("removed_tokens") > 0).cast("int")).alias("d"),
+            F.sum("removed_tokens").alias("t"),
+        ).collect()[0]
+        dup_scrub_stats = {
+            "dup_span_scrubbed_docs": int(row["d"] or 0),
+            "dup_span_scrubbed_tokens": int(row["t"] or 0),
+        }
+        training = training.drop("text", "n_tokens").join(
+            scrub_pin.select(
+                "doc_id",
+                F.col("scrubbed_text").alias("text"),
+                (F.col("n_tokens") - F.col("removed_tokens"))
+                .cast("int")
+                .alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+        tick("dup_span_scrub")
     # output tables land BUCKETED on doc_id (write_bucketed): pay the
     # partitioning shuffle once here so every downstream join against
     # training/chunks (and their mutual join) plans exchange-free --
@@ -341,6 +398,8 @@ def main() -> None:
         decisions.unpersist()
     if flagged is not None:
         flagged.unpersist()
+    if scrub_pin is not None:
+        scrub_pin.unpersist()
     if training_pinned is not None:
         training_pinned.unpersist()
 
@@ -382,6 +441,7 @@ def main() -> None:
                 os.path.join(args.incremental, "dedup_index"),
                 dedup_index_dir,
                 scrubbed=args.scrub_pii,
+                dup_span_scrubbed=args.scrub_dup_spans,
             )
         else:
             from boilerpipe_coffee_spark.operators.dedup import (
@@ -389,7 +449,8 @@ def main() -> None:
             )
 
             build_dedup_index(
-                kept_docs, dedup_index_dir, scrubbed=args.scrub_pii
+                kept_docs, dedup_index_dir, scrubbed=args.scrub_pii,
+                dup_span_scrubbed=args.scrub_dup_spans,
             )
         tick("dedup_index")
 
@@ -474,6 +535,8 @@ def main() -> None:
         summary["quality_threshold"] = quality_threshold
     if dup_span_dropped is not None:
         summary["dup_span_dropped"] = dup_span_dropped
+    if dup_scrub_stats is not None:
+        summary.update(dup_scrub_stats)
     if n_chunks is not None:
         summary["chunks"] = n_chunks
     if packed_bins is not None:

@@ -180,6 +180,70 @@ def test_scrub_overlapping_spans_union(spark, tmp_path):
     assert sorted(tuple(r) for r in got.values()) == want
 
 
+def test_scrub_preserve_mode_keeps_original_bytes(spark, tmp_path):
+    """normal_form=False (the pipeline's training-text mode): docs
+    with nothing to remove come back BYTE-IDENTICAL (case, punct,
+    spacing); affected docs lose exactly the shared span's characters
+    plus one adjacent separator run, everything else verbatim."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        dup_span_scrub_df,
+    )
+
+    span = " ".join(f"sharedzz{i}" for i in range(DUP_SPAN_W + 3))
+    clean = "Keep My CASE, punctuation... and   spacing!  (doc three)"
+    mid = f"Head ONE, two.  {span} Tail: three!"
+    end = f"Prefix words here, then boilerplate: {span}"
+    rows = [(1, mid), (2, end), (3, clean), (4, "Also %s untouched" % "x")]
+    d = _write_documents(tmp_path, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in dup_span_scrub_df(
+            docs.select("doc_id", "text"), normal_form=False
+        ).collect()
+    }
+    assert got[3].scrubbed_text == clean and got[3].removed_tokens == 0
+    assert got[4].removed_tokens == 0
+    # mid-doc span: cut runs to the next kept token's start, so the
+    # separators BEFORE the span survive and "Tail" follows directly
+    assert got[1].scrubbed_text == "Head ONE, two.  Tail: three!"
+    assert got[1].removed_tokens == DUP_SPAN_W + 3
+    # end-of-doc span: cut extends BACK over the preceding separator
+    # run to the previous kept token's end
+    assert got[2].scrubbed_text == "Prefix words here, then boilerplate"
+    assert got[2].removed_tokens == DUP_SPAN_W + 3
+
+
+def test_scrub_preserve_unicode_fallback(spark, tmp_path):
+    """A doc whose case-folding changes length (U+0130 lowercases to
+    two chars) cannot be spliced by raw-byte offsets; it must fall
+    back to normal form instead of cutting at corrupted positions.
+    Other docs in the same batch still splice."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        dup_span_scrub_df,
+    )
+
+    span = " ".join(f"uq{i}" for i in range(DUP_SPAN_W + 2))
+    weird = f"İstanbul Doc! {span} tail words"
+    plain = f"Plain doc, with {span} inside it."
+    rows = [(1, weird), (2, plain)]
+    d = _write_documents(tmp_path, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    got = {
+        r.doc_id: r
+        for r in dup_span_scrub_df(
+            docs.select("doc_id", "text"), normal_form=False
+        ).collect()
+    }
+    assert got[1].removed_tokens == DUP_SPAN_W + 2
+    # normal-form fallback: lowercase tokenizer normal form, span gone
+    toks = got[1].scrubbed_text.split(" ")
+    assert "İstanbul".lower().startswith(toks[0][:1])
+    assert all(not t.startswith("uq") for t in toks)
+    # the ASCII doc in the same batch still splices verbatim
+    assert got[2].scrubbed_text == "Plain doc, with inside it."
+
+
 def test_oracle_guard_fires_on_mega_doc(planted_dir):
     """The static-range position join truncates a doc with more
     windows than the bound; the guard must turn that silent

@@ -35,6 +35,67 @@ def _corpus_rows():
     return rows
 
 
+def test_pipeline_dup_span_scrub_e2e(spark, tmp_path_factory):
+    """--scrub-dup-spans: the same planted corpus goes through the
+    full job, but instead of dropping boilerplate-heavy docs the
+    shared block is SPLICED OUT of their text.  No rows drop; the
+    injected docs keep exactly their own 80 unique words (bytes
+    preserved); n_tokens is the post-scrub count."""
+    base = tmp_path_factory.mktemp("dupspan_scrub_stage")
+    in_dir = str(base / "input")
+    out = str(base / "out")
+    spark.createDataFrame(_corpus_rows(), INTERLEAVED_SCHEMA).write.parquet(
+        in_dir
+    )
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [
+            sys.executable, JOB, "--input", in_dir, "--output", out,
+            "--buckets", "4", "--scrub-dup-spans", "--no-near-dup",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=900, env=env,
+    )
+    lines = [
+        l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+    ]
+    assert lines, (
+        f"no summary JSON; rc={proc.returncode} "
+        f"stderr tail: {proc.stderr[-2000:]}"
+    )
+    s = json.loads(lines[-1])
+
+    assert s["extracted"] == N_DOCS and s["quarantined"] == 0
+    # scrub never drops rows
+    assert s["kept"] == N_DOCS, s
+    assert s["dup_span_scrubbed_docs"] == N_INJECTED, s
+    # the block is 60 tokens; only windows fully inside it are
+    # duplicated (straddles mix per-doc vocab) and their union covers
+    # exactly the block in each injected doc
+    assert s["dup_span_scrubbed_tokens"] == N_INJECTED * 60, s
+    assert "dup_span_scrub" in s["stage_sec"]
+
+    con = duckdb.connect()
+    training = f"read_parquet('{out}/training/*.parquet')"
+    n_boiler = con.sql(
+        f"SELECT count(*) FROM {training} WHERE text LIKE '%boilerqq%'"
+    ).fetchone()[0]
+    assert n_boiler == 0
+    # every doc (injected or clean) now carries exactly its 80 own
+    # words, and n_tokens reflects the POST-scrub text
+    bad = con.sql(
+        f"SELECT count(*) FROM {training} WHERE n_tokens != 80"
+    ).fetchone()[0]
+    assert bad == 0
+    head_tail = con.sql(
+        f"SELECT count(*) FROM {training} t WHERE "
+        "t.text NOT LIKE 'd%w0 %' OR t.text NOT LIKE '%w79'"
+    ).fetchone()[0]
+    assert head_tail == 0
+    con.close()
+
+
 def test_pipeline_dup_span_gate_e2e(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("dupspan_stage")
     in_dir = str(base / "input")

@@ -355,6 +355,42 @@ def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
     assert meta["scrubbed"] is True
 
 
+def test_update_rejects_dup_span_representation_mismatch(
+    spark, tmp_path_factory
+):
+    """Same guard for the --scrub-dup-spans representation: an index
+    built over spliced text refuses a roll that supplies unspliced
+    docs (and vice versa), and the flag carries forward."""
+    import pytest
+
+    from boilerpipe_coffee_spark.operators.dedup import (
+        update_dedup_index,
+    )
+
+    base = str(tmp_path_factory.mktemp("dix_dupspan_mismatch"))
+    docs = spark.createDataFrame(
+        [("d1", "some corpus text here")], "doc_id string, text string"
+    )
+    v1 = os.path.join(base, "v1")
+    meta = build_dedup_index(docs, v1, dup_span_scrubbed=True)
+    assert meta["dup_span_scrubbed"] is True
+    batch = spark.createDataFrame(
+        [("d9", "fresh doc")], "doc_id string, text string"
+    )
+    with pytest.raises(ValueError, match="representation mismatch"):
+        update_dedup_index(
+            batch, v1, os.path.join(base, "v2"), dup_span_scrubbed=False
+        )
+    meta = update_dedup_index(
+        batch, v1, os.path.join(base, "v2b"), dup_span_scrubbed=True
+    )
+    assert meta["dup_span_scrubbed"] is True
+    # None skips the check (caller guarantees consistency), matching
+    # the scrubbed flag's contract
+    meta = update_dedup_index(batch, v1, os.path.join(base, "v2c"))
+    assert meta["dup_span_scrubbed"] is True
+
+
 # ------------------------------------------------------------------ #
 # banding_stale epoch (round 8, VERDICT r7 task 2)                     #
 # ------------------------------------------------------------------ #
