@@ -137,6 +137,7 @@ SUITE = [
     "unigram_logprob_quality",
     "contamination_check",
     "dup_span_stats",
+    "dup_span_scrub",
     "packing_stats",
     "quality_histogram_quantiles",
     "doc_chunks",

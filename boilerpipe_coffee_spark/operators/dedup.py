@@ -1032,6 +1032,7 @@ def build_dedup_index(
     n_buckets: int = 8,
     scrubbed: bool = False,
     dup_span_scrubbed: bool = False,
+    dup_grams: "DataFrame | None" = None,
 ) -> dict:
     """Materialize the dedup index for an EXISTING (already
     deduplicated) corpus -- the thing a recurring-crawl operator
@@ -1068,18 +1069,34 @@ def build_dedup_index(
     ``dup_span_scrubbed=True`` records that ``docs.text`` had cross-
     doc duplicated spans SPLICED OUT (the pipeline's
     ``--scrub-dup-spans`` stage).  Unlike the PII chain this transform
-    is corpus-dependent, so the probe side CANNOT replay it on an
-    incoming batch: re-fetches of boilerplate-bearing docs will miss
-    the exact hash and may degrade to (or below) near-dup banding.
-    The flag exists so :func:`update_dedup_index` refuses to merge
-    mismatched representations -- the silent-degradation failure mode
-    ADVICE r7 flagged for the PII variant."""
+    is corpus-dependent, so the index must carry the corpus's
+    "boilerplate list" -- ``dup_grams`` (the DataFrame[g] from
+    ``textstats.dup_grams_df`` over the PRE-scrub corpus) is REQUIRED
+    with the flag and lands as a fourth bucketed table
+    ``<index_dir>/dup_grams``.  :func:`probe_dedup_index` splices
+    incoming raw text against it (BEFORE any PII redaction, matching
+    the pipeline's stage order), so a re-fetched boilerplate-bearing
+    doc reproduces the indexed bytes and still exact-matches.
+    :func:`update_dedup_index` refuses mismatched representations
+    (the silent-degradation failure mode ADVICE r7 flagged for the
+    PII variant) and rolls the gram list forward by union -- a
+    monotone per-version list, like production boilerplate lists:
+    grams first duplicated only ACROSS versions enter the list at the
+    next version that sees them duplicated internally, never
+    retroactively."""
     import json
     import os
 
 
     from ..sources import write_bucketed
 
+    if dup_span_scrubbed and dup_grams is None:
+        raise ValueError(
+            "dup_span_scrubbed=True requires dup_grams (the "
+            "textstats.dup_grams_df frame over the PRE-scrub corpus):"
+            " without the boilerplate list a probe can never replay "
+            "the splice on raw re-fetched text"
+        )
     n_docs = docs.count()
     if banding is None:
         banding = minhash_banding(n_docs)
@@ -1121,6 +1138,13 @@ def build_dedup_index(
         "band_key", n_buckets=n_buckets,
     )
     banded.unpersist()
+    if dup_grams is not None:
+        write_bucketed(
+            dup_grams.select("g").distinct(),
+            f"bpc_dedup_idx_g_{tag}",
+            os.path.join(index_dir, "dup_grams"), "g",
+            n_buckets=n_buckets,
+        )
     meta = {
         "banding": list(banding),
         "bucket_cap": bucket_cap,
@@ -1142,11 +1166,15 @@ def _index_schemas(meta: dict) -> "dict[str, str] | dict[str, None]":
     back to file inference) for indexes built before doc_id_type."""
     dt = meta.get("doc_id_type")
     if dt is None:
-        return {"hashes": None, "bands": None, "band_counts": None}
+        return {
+            "hashes": None, "bands": None, "band_counts": None,
+            "dup_grams": None,
+        }
     return {
         "hashes": f"`h` string, `exact_dup_of` {dt}",
         "bands": f"`ex_id` {dt}, `band_key` string",
         "band_counts": "`band_key` string, `bn` bigint",
+        "dup_grams": "`g` bigint",
     }
 
 
@@ -1156,6 +1184,7 @@ def update_dedup_index(
     out_dir: str,
     scrubbed: "bool | None" = None,
     dup_span_scrubbed: "bool | None" = None,
+    new_dup_grams: "DataFrame | None" = None,
 ) -> dict:
     """Roll the corpus-version index forward: prior index + the batch
     of NEWLY KEPT docs -> the next version's index, WITHOUT re-signing
@@ -1294,6 +1323,39 @@ def update_dedup_index(
     )
     banded.unpersist()
 
+    if new_dup_grams is not None and not prior.get("dup_span_scrubbed"):
+        raise ValueError(
+            f"index at {prior_dir} was not built dup_span_scrubbed; "
+            "passing new_dup_grams would silently change the text "
+            "representation mid-roll"
+        )
+    if prior.get("dup_span_scrubbed"):
+        gdir_p = os.path.join(prior_dir, "dup_grams")
+        if not os.path.isdir(gdir_p):
+            raise ValueError(
+                f"{prior_dir} records dup_span_scrubbed but has no "
+                "dup_grams table -- rebuild it once with "
+                "build_dedup_index(..., dup_grams=...)"
+            )
+        prior_g = register_bucketed(
+            spark, f"bpc_dedup_idx_g_{tag_p}", gdir_p, "g",
+            n_buckets=n_buckets, schema=schemas["dup_grams"],
+        )
+        # monotone roll: the next version's boilerplate list is the
+        # prior list UNION the batch's own duplicated grams
+        out_g = (
+            prior_g
+            if new_dup_grams is None
+            else prior_g.unionByName(
+                new_dup_grams.select("g")
+            ).distinct()
+        )
+        write_bucketed(
+            out_g, f"bpc_dedup_idx_g_{tag_o}",
+            os.path.join(out_dir, "dup_grams"), "g",
+            n_buckets=n_buckets,
+        )
+
     n_docs = prior.get("n_docs", 0) + new_docs.count()
     meta = {
         "banding": list(banding),
@@ -1330,7 +1392,11 @@ def probe_dedup_index(
     If the index meta records ``scrubbed: true`` the probe text is
     passed through the PII redaction chain before hashing/banding --
     the index holds hashes of the SCRUBBED representation, so probing
-    raw re-fetched text would miss every PII-bearing exact dup."""
+    raw re-fetched text would miss every PII-bearing exact dup.
+    ``dup_span_scrubbed: true`` likewise splices the probe text
+    against the index's frozen ``dup_grams`` boilerplate list FIRST
+    (the pipeline scrubs dup spans before PII, and the gram list was
+    computed on pre-PII text -- replay must match that order)."""
     import json
     import os
 
@@ -1338,14 +1404,33 @@ def probe_dedup_index(
 
     with open(os.path.join(index_dir, DEDUP_INDEX_META)) as f:
         meta = json.load(f)
+    tag = _index_tag(index_dir)
+    schemas = _index_schemas(meta)
+    if meta.get("dup_span_scrubbed"):
+        gdir = os.path.join(index_dir, "dup_grams")
+        if not os.path.isdir(gdir):
+            raise ValueError(
+                f"index at {index_dir} records dup_span_scrubbed but "
+                "has no dup_grams table -- rebuild it once with "
+                "build_dedup_index(..., dup_grams=...)"
+            )
+        from .textstats import dup_span_scrub_df
+
+        grams = register_bucketed(
+            spark, f"bpc_dedup_idx_g_{tag}", gdir, "g",
+            n_buckets=meta["n_buckets"], schema=schemas["dup_grams"],
+        )
+        new_docs = dup_span_scrub_df(
+            new_docs.select("doc_id", "text"),
+            normal_form=False,
+            grams=grams,
+        ).select("doc_id", F.col("scrubbed_text").alias("text"))
     if meta.get("scrubbed"):
         from .textstats import pii_scrub_text
 
         new_docs = new_docs.withColumn(
             "text", pii_scrub_text(F.col("text"))
         )
-    tag = _index_tag(index_dir)
-    schemas = _index_schemas(meta)
     exist_h = register_bucketed(
         spark, f"bpc_dedup_idx_h_{tag}", os.path.join(index_dir, "hashes"),
         "h", n_buckets=meta["n_buckets"], schema=schemas["hashes"],

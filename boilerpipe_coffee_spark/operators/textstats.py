@@ -774,17 +774,47 @@ def dup_span_scrub(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def dup_grams_df(
+    df: DataFrame, text_col: str = "text", w: int = None
+) -> DataFrame:
+    """(doc_id, <text_col>) -> DataFrame[g bigint]: the DISTINCT
+    cross-document duplicated word-``w``-gram hashes of the corpus —
+    the "boilerplate list" the scrub removes.  Map-side-combinable
+    min/max is the ≥2-distinct-docs test (one |tokens|-row shuffle).
+    Materialized into the dedup index by the pipeline so incremental
+    probes can replay the corpus's splice on raw re-fetched text."""
+    w = w or DUP_SPAN_W
+    base = df.select("doc_id", F.col(text_col).alias("text"))
+    return (
+        _gram_rows_df(base, w)
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("g")
+    )
+
+
 def dup_span_scrub_df(
     df: DataFrame,
     text_col: str = "text",
     w: int = None,
     normal_form: bool = True,
+    grams: "DataFrame | None" = None,
 ) -> DataFrame:
     """(doc_id, <text_col>) -> (doc_id, n_tokens, removed_tokens,
     scrubbed_text): drop every token position covered by ANY
     duplicated window (window at pos p covers tokens p..p+w-1;
     overlapping windows union).  ``n_tokens`` is the PRE-scrub count;
     post-scrub is ``n_tokens - removed_tokens``.
+
+    ``grams``: the gram-hash set (DataFrame[g]) whose windows to
+    splice.  ``None`` derives it from ``df`` itself via
+    :func:`dup_grams_df` (the batch's own cross-doc duplicates — the
+    driver query's semantics).  Passing an explicit frame makes the
+    transform REPLAYABLE: splicing raw text against an index's frozen
+    ``dup_grams`` table reproduces the indexed representation
+    byte-for-byte, which is what lets incremental probes exact-match
+    scrubbed corpora.
 
     ``normal_form=True`` (the oracle-backed driver row): output text
     is the shared tokenizer's normal form (lowercase, ``[a-z0-9]+``
@@ -810,14 +840,20 @@ def dup_span_scrub_df(
     w = w or DUP_SPAN_W
     base = df.select("doc_id", F.col(text_col).alias("text"))
     ex = _gram_rows_df(base, w)
-    dup = (
-        ex.groupBy("g")
-        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
-        .filter(F.col("mn") != F.col("mx"))
-        .select("g")
-    )
+    if grams is None:
+        # already distinct by construction (groupBy g) -- no extra
+        # exchange; an EXTERNAL frame gets an explicit distinct so a
+        # caller passing a multi-version union can't double-collect
+        gsel = (
+            ex.groupBy("g")
+            .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+            .filter(F.col("mn") != F.col("mx"))
+            .select("g")
+        )
+    else:
+        gsel = grams.select("g").distinct()
     dpos = (
-        ex.join(dup, "g")
+        ex.join(gsel, "g")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("pos")).alias("dps"))
     )

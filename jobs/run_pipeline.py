@@ -325,18 +325,46 @@ def main() -> None:
     # leaves the separator run that preceded the span).
     dup_scrub_stats = None
     scrub_pin = None
+    dup_grams_pin = None
     if args.scrub_dup_spans:
         from pyspark import StorageLevel
 
         from boilerpipe_coffee_spark.operators.textstats import (
+            dup_grams_df,
             dup_span_scrub_df,
         )
 
         if training_pinned is None:
             training = training.persist(StorageLevel.MEMORY_AND_DISK)
             training_pinned = training
+        # the gram list is the REPRESENTATION: it feeds the splice
+        # here AND lands in the dedup index so probes can replay it.
+        # An incremental batch splices against the PRIOR corpus's
+        # list UNION its own duplicates -- the same list the rolled
+        # index will record.
+        all_grams = dup_grams_df(training.select("doc_id", "text"))
+        if args.incremental:
+            import json as _json
+
+            prior_idx = os.path.join(args.incremental, "dedup_index")
+            with open(os.path.join(prior_idx, "index_meta.json")) as f:
+                if not _json.load(f).get("dup_span_scrubbed"):
+                    raise ValueError(
+                        f"--scrub-dup-spans with --incremental needs a "
+                        f"prior index built with the same flag; "
+                        f"{prior_idx} is not dup_span_scrubbed"
+                    )
+            all_grams = (
+                spark.read.parquet(os.path.join(prior_idx, "dup_grams"))
+                .select("g")
+                .unionByName(all_grams)
+                .distinct()
+            )
+        dup_grams_pin = all_grams.persist(StorageLevel.MEMORY_AND_DISK)
         scrub_pin = dup_span_scrub_df(
-            training.select("doc_id", "text"), normal_form=False
+            training.select("doc_id", "text"),
+            normal_form=False,
+            grams=dup_grams_pin,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         row = scrub_pin.agg(
             F.sum((F.col("removed_tokens") > 0).cast("int")).alias("d"),
@@ -442,6 +470,7 @@ def main() -> None:
                 dedup_index_dir,
                 scrubbed=args.scrub_pii,
                 dup_span_scrubbed=args.scrub_dup_spans,
+                new_dup_grams=dup_grams_pin,
             )
         else:
             from boilerpipe_coffee_spark.operators.dedup import (
@@ -451,8 +480,11 @@ def main() -> None:
             build_dedup_index(
                 kept_docs, dedup_index_dir, scrubbed=args.scrub_pii,
                 dup_span_scrubbed=args.scrub_dup_spans,
+                dup_grams=dup_grams_pin,
             )
         tick("dedup_index")
+    if dup_grams_pin is not None:
+        dup_grams_pin.unpersist()
 
     # stage 5 (optional): materialized training chunks + media features
     n_chunks = n_media = media_quarantined = None

@@ -149,6 +149,39 @@ def test_pipeline_incremental_e2e(tmp_path_factory):
     assert s2["kept"] == 1
 
 
+def test_pipeline_incremental_with_dup_span_scrub(tmp_path_factory):
+    """The full job-level composition of --scrub-dup-spans with the
+    incremental index: v1 builds a SPLICED corpus + index (gram list
+    materialized), v2 re-crawls the identical raw corpus through
+    --incremental -- every v1 keeper must still exact-hit, which only
+    works if the probe replays the splice from the index's dup_grams
+    table (the synth corpus is template-heavy, so un-replayed raw
+    hashes would miss nearly everything)."""
+    v1 = str(tmp_path_factory.mktemp("incr_scrub_v1"))
+    v2 = str(tmp_path_factory.mktemp("incr_scrub_v2"))
+    s1 = _run_job(
+        "--synth", "200", "--output", v1, "--buckets", "4",
+        "--emit-dedup-index", "--scrub-dup-spans",
+    )
+    with open(os.path.join(v1, "dedup_index", "index_meta.json")) as f:
+        meta = json.load(f)
+    assert meta["dup_span_scrubbed"] is True
+    assert os.path.isdir(os.path.join(v1, "dedup_index", "dup_grams"))
+    assert s1["dup_span_scrubbed_docs"] > 0
+
+    s2 = _run_job(
+        "--synth", "200", "--output", v2, "--buckets", "4",
+        "--incremental", v1, "--scrub-dup-spans", "--emit-dedup-index",
+    )
+    # identical re-crawl: every v1 keeper exact-hits the spliced index
+    assert s2["incr_exact_dup"] >= s1["kept"], (s1, s2)
+    # the rolled index carries the representation + gram list forward
+    with open(os.path.join(v2, "dedup_index", "index_meta.json")) as f:
+        meta2 = json.load(f)
+    assert meta2["dup_span_scrubbed"] is True
+    assert os.path.isdir(os.path.join(v2, "dedup_index", "dup_grams"))
+
+
 # ------------------------------------------------------------------ #
 # index roll-forward: update_dedup_index (round 7)                    #
 # ------------------------------------------------------------------ #
@@ -318,6 +351,87 @@ def test_scrubbed_index_matches_raw_refetch(spark, tmp_path_factory):
         assert rows_raw[d]["exact_dup_of"] == d
 
 
+def test_dup_span_index_matches_raw_refetch(spark, tmp_path_factory):
+    """An index built from the dup-span-SPLICED keep-set (the
+    --scrub-dup-spans + --emit-dedup-index composition) must still
+    exact-match a RAW re-fetch of a boilerplate-bearing doc: the
+    index carries the frozen dup_grams boilerplate list and
+    probe_dedup_index replays the splice on the probe side.  Without
+    the list the transform is corpus-dependent and unreplayable --
+    re-crawled boilerplate docs would silently miss the hash."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        DUP_SPAN_W,
+        dup_grams_df,
+        dup_span_scrub_df,
+    )
+
+    boiler = " ".join(f"bq{i}" for i in range(DUP_SPAN_W + 8))
+    raw_rows = [
+        ("d1", f"Unique head one. {boiler} And a unique tail one."),
+        ("d2", f"Other head two! {boiler} Different tail two."),
+        ("d3", "No shared block in this third document at all."),
+    ]
+    raw = spark.createDataFrame(raw_rows, "doc_id string, text string")
+    grams = dup_grams_df(raw)
+    spliced = dup_span_scrub_df(
+        raw, normal_form=False, grams=grams
+    ).select("doc_id", F.col("scrubbed_text").alias("text"))
+    # the planted docs genuinely change under the splice
+    changed = {
+        r["doc_id"]
+        for r in spliced.exceptAll(raw.select("doc_id", "text")).collect()
+    }
+    assert changed == {"d1", "d2"}
+
+    idx = str(tmp_path_factory.mktemp("dix_dupspan"))
+    meta = build_dedup_index(
+        spliced, idx, dup_span_scrubbed=True, dup_grams=grams
+    )
+    assert meta["dup_span_scrubbed"] is True
+    rows = {
+        r["doc_id"]: r
+        for r in probe_dedup_index(spark, raw, idx).collect()
+    }
+    # every re-fetched doc -- boilerplate-bearing or not -- matches
+    for d, _ in raw_rows:
+        assert rows[d]["exact_dup_of"] == d, rows[d]
+        assert not rows[d]["keep"]
+
+    # roll the index forward with a batch carrying its own NEW
+    # boilerplate: the gram list unions, and a raw re-fetch of the
+    # batch doc still exact-matches against the rolled index
+    from boilerpipe_coffee_spark.operators.dedup import (
+        update_dedup_index,
+    )
+
+    boiler2 = " ".join(f"nz{i}" for i in range(DUP_SPAN_W + 4))
+    batch_raw = spark.createDataFrame(
+        [
+            ("d4", f"Fresh head four; {boiler2} fresh tail four."),
+            ("d5", f"Fresh head five; {boiler2} fresh tail five."),
+        ],
+        "doc_id string, text string",
+    )
+    batch_grams = dup_grams_df(batch_raw)
+    batch_spliced = dup_span_scrub_df(
+        batch_raw, normal_form=False, grams=batch_grams
+    ).select("doc_id", F.col("scrubbed_text").alias("text"))
+    v2 = str(tmp_path_factory.mktemp("dix_dupspan_v2"))
+    meta2 = update_dedup_index(
+        batch_spliced, idx, v2,
+        dup_span_scrubbed=True, new_dup_grams=batch_grams,
+    )
+    assert meta2["dup_span_scrubbed"] is True
+    rows2 = {
+        r["doc_id"]: r
+        for r in probe_dedup_index(
+            spark, raw.unionByName(batch_raw), v2
+        ).collect()
+    }
+    for d in ("d1", "d2", "d3", "d4", "d5"):
+        assert rows2[d]["exact_dup_of"] == d, rows2[d]
+
+
 def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
     """Rolling a scrubbed index forward with raw-representation docs
     (or vice versa) must raise, not silently merge mixed hashes."""
@@ -366,13 +480,19 @@ def test_update_rejects_dup_span_representation_mismatch(
     from boilerpipe_coffee_spark.operators.dedup import (
         update_dedup_index,
     )
+    from boilerpipe_coffee_spark.operators.textstats import dup_grams_df
 
     base = str(tmp_path_factory.mktemp("dix_dupspan_mismatch"))
     docs = spark.createDataFrame(
         [("d1", "some corpus text here")], "doc_id string, text string"
     )
     v1 = os.path.join(base, "v1")
-    meta = build_dedup_index(docs, v1, dup_span_scrubbed=True)
+    # the flag without the boilerplate list is unreplayable -> refused
+    with pytest.raises(ValueError, match="requires dup_grams"):
+        build_dedup_index(docs, v1, dup_span_scrubbed=True)
+    meta = build_dedup_index(
+        docs, v1, dup_span_scrubbed=True, dup_grams=dup_grams_df(docs)
+    )
     assert meta["dup_span_scrubbed"] is True
     batch = spark.createDataFrame(
         [("d9", "fresh doc")], "doc_id string, text string"
