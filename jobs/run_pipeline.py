@@ -354,9 +354,12 @@ def main() -> None:
                         f"prior index built with the same flag; "
                         f"{prior_idx} is not dup_span_scrubbed"
                     )
+            # explicit schema: an index over a corpus with NO
+            # surviving cross-doc spans has an EMPTY (file-less)
+            # dup_grams table, which schema inference cannot read
             all_grams = (
-                spark.read.parquet(os.path.join(prior_idx, "dup_grams"))
-                .select("g")
+                spark.read.schema("g bigint")
+                .parquet(os.path.join(prior_idx, "dup_grams"))
                 .unionByName(all_grams)
                 .distinct()
             )
@@ -374,6 +377,11 @@ def main() -> None:
             "dup_span_scrubbed_docs": int(row["d"] or 0),
             "dup_span_scrubbed_tokens": int(row["t"] or 0),
         }
+        # dup_span_removed_tokens is lineage: n_tokens +
+        # dup_span_removed_tokens reconstructs the PRE-scrub count
+        # (what the min-token admission gate saw), so consumers and
+        # rehearsal invariants can distinguish "admitted short" from
+        # "scrubbed short"
         training = training.drop("text", "n_tokens").join(
             scrub_pin.select(
                 "doc_id",
@@ -381,6 +389,9 @@ def main() -> None:
                 (F.col("n_tokens") - F.col("removed_tokens"))
                 .cast("int")
                 .alias("n_tokens"),
+                F.col("removed_tokens")
+                .cast("int")
+                .alias("dup_span_removed_tokens"),
             ),
             "doc_id",
         )

@@ -88,6 +88,11 @@ def test_pipeline_dup_span_scrub_e2e(spark, tmp_path_factory):
         f"SELECT count(*) FROM {training} WHERE n_tokens != 80"
     ).fetchone()[0]
     assert bad == 0
+    # lineage column: pre-scrub admission count reconstructs exactly
+    removed = con.sql(
+        f"SELECT sum(dup_span_removed_tokens) FROM {training}"
+    ).fetchone()[0]
+    assert removed == N_INJECTED * 60
     head_tail = con.sql(
         f"SELECT count(*) FROM {training} t WHERE "
         "t.text NOT LIKE 'd%w0 %' OR t.text NOT LIKE '%w79'"

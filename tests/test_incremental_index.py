@@ -432,6 +432,42 @@ def test_dup_span_index_matches_raw_refetch(spark, tmp_path_factory):
         assert rows2[d]["exact_dup_of"] == d, rows2[d]
 
 
+def test_empty_dup_grams_index_probes_and_reads(spark, tmp_path_factory):
+    """A corpus with NO surviving cross-doc spans has an EMPTY
+    (file-less) dup_grams table.  The probe must still work (splice =
+    no-op) and the pipeline's schema-explicit parquet read must
+    return 0 rows instead of UNABLE_TO_INFER_SCHEMA -- the exact
+    failure the 50k lifecycle chain hit."""
+    from boilerpipe_coffee_spark.operators.textstats import dup_grams_df
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "entirely unique first document text body"),
+            ("d2", "second doc with different words throughout"),
+        ],
+        "doc_id string, text string",
+    )
+    grams = dup_grams_df(docs)
+    assert grams.count() == 0
+    idx = str(tmp_path_factory.mktemp("dix_empty_grams"))
+    meta = build_dedup_index(
+        docs, idx, dup_span_scrubbed=True, dup_grams=grams
+    )
+    assert meta["dup_span_scrubbed"] is True
+    rows = {
+        r["doc_id"]: r for r in probe_dedup_index(spark, docs, idx).collect()
+    }
+    for d in ("d1", "d2"):
+        assert rows[d]["exact_dup_of"] == d
+    # the run_pipeline read path for the prior list
+    n = (
+        spark.read.schema("g bigint")
+        .parquet(os.path.join(idx, "dup_grams"))
+        .count()
+    )
+    assert n == 0
+
+
 def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
     """Rolling a scrubbed index forward with raw-representation docs
     (or vice versa) must raise, not silently merge mixed hashes."""

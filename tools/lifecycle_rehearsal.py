@@ -62,6 +62,7 @@ def run_job(
     buckets: int,
     dup_span_frac: float,
     incremental: "str | None" = None,
+    scrub_dup_spans: bool = False,
 ) -> dict:
     """One composed run_pipeline invocation with EVERY stage on."""
     env = dict(os.environ)
@@ -80,6 +81,8 @@ def run_job(
         "--scrub-pii",
         "--emit-chunks", "--pack-sequences", "--emit-dedup-index",
     ]
+    if scrub_dup_spans:
+        cmd += ["--scrub-dup-spans"]
     if incremental:
         cmd += ["--incremental", incremental]
     t0 = time.time()
@@ -97,6 +100,79 @@ def run_job(
     summary = json.loads(lines[-1])
     summary["job_wall_sec"] = wall
     return summary
+
+
+BOILER_SPAN_TOKENS = 20
+BOILER_FILLER = 60
+
+
+def augment_boiler(
+    src_dir: str,
+    dst_dir: str,
+    n_pairs: int,
+    reuse_spans: "list[str]",
+    seed: int,
+    tag: "str | None" = None,
+) -> "list[str]":
+    """Append boilerplate-bearing docs to <src_dir>/documents.parquet
+    -> <dst_dir>/documents.parquet (doc_id + text columns only -- all
+    consumers select just those).  ``n_pairs`` pairs share a fresh
+    20-token span each (cross-doc duplicated INSIDE this version ->
+    they enter the version's dup_grams list and get spliced); each
+    span in ``reuse_spans`` goes into ONE new doc (duplicated only
+    against PRIOR versions -> spliced purely via the index's rolled
+    list, the replay path).  Fillers draw from the corpus VOCAB so the
+    quality gate sees the rehearsal distribution.  ``tag=None`` uses
+    int ids past the corpus range (v1); a tag makes 'b<tag>...' string
+    ids (crawl batches, graded as their own class)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from make_scale_corpus import VOCAB
+
+    rng = np.random.RandomState(seed)
+
+    def words(n):
+        return [VOCAB[i] for i in rng.randint(0, len(VOCAB), n)]
+
+    texts, spans = [], []
+    for i in range(n_pairs):
+        span = " ".join(words(BOILER_SPAN_TOKENS))
+        spans.append(span)
+        for _m in range(2):
+            filler = words(BOILER_FILLER)
+            half = BOILER_FILLER // 2
+            texts.append(
+                " ".join(filler[:half])
+                + f" {span} "
+                + " ".join(filler[half:])
+            )
+    for span in reuse_spans:
+        filler = words(BOILER_FILLER)
+        half = BOILER_FILLER // 2
+        texts.append(
+            " ".join(filler[:half]) + f" {span} " + " ".join(filler[half:])
+        )
+
+    src = pq.read_table(
+        os.path.join(src_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    if tag is None:
+        ids = pa.array(
+            [10_000_000 + k for k in range(len(texts))],
+            src.schema.field("doc_id").type,
+        )
+    else:
+        ids = pa.array([f"b{tag}{k:05d}" for k in range(len(texts))])
+    add = pa.table({"doc_id": ids, "text": pa.array(texts)})
+    os.makedirs(dst_dir, exist_ok=True)
+    pq.write_table(
+        pa.concat_tables([src, add]),
+        os.path.join(dst_dir, "documents.parquet"),
+    )
+    return spans
 
 
 def expected_keep_set(
@@ -205,6 +281,45 @@ def check_index_roll(
     rec["n_docs_v2"] = v2_meta["n_docs"]
     rec["banding_stale"] = v2_meta["banding_stale"]
     rec["scrubbed"] = v2_meta.get("scrubbed", False)
+    rec["dup_span_scrubbed"] = v2_meta.get("dup_span_scrubbed", False)
+    if rec["dup_span_scrubbed"]:
+        # the rolled boilerplate list must equal its independent
+        # recomputation: the UNION over versions of dup_grams_df on
+        # each version's PRE-splice keep-set text (extract output
+        # filtered to that version's training ids -- gates drop rows
+        # but never rewrite text, and the splice runs after the gram
+        # stage, so this replays exactly what the job hashed)
+        from boilerpipe_coffee_spark.operators.pretrain import (
+            content_features,
+        )
+        from boilerpipe_coffee_spark.operators.textstats import (
+            dup_grams_df,
+        )
+
+        per_version = []
+        for o in all_outs:
+            keep_ids = spark.read.parquet(
+                os.path.join(o, "training")
+            ).select("doc_id")
+            # extract output is span-structured; content_features is
+            # the job's own spans -> flat text derivation
+            pre = (
+                content_features(
+                    spark.read.parquet(os.path.join(o, "extract", "data"))
+                )
+                .select("doc_id", "text")
+                .join(keep_ids, "doc_id", "left_semi")
+            )
+            per_version.append(dup_grams_df(pre))
+        want_g = functools.reduce(
+            lambda a, b: a.unionByName(b), per_version
+        ).distinct()
+        w = want_g.select(F.xxhash64("g").alias("h")).agg(
+            F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x")
+        ).collect()[0]
+        got_g = checksum(rolled, "dup_grams")
+        rec["dup_grams_equal"] = got_g == (int(w["n"]), int(w["x"] or 0))
+        rec["dup_grams_rows"] = got_g[0]
     return rec
 
 
@@ -219,6 +334,12 @@ def main() -> int:
     ap.add_argument("--dup-span-frac", type=float, default=0.6)
     ap.add_argument("--crawls", type=int, default=2,
                     help="number of incremental crawls after v1")
+    ap.add_argument("--scrub-dup-spans", action="store_true",
+                    help="add the byte-preserving dup-span splice to "
+                    "every run in the chain (v1 build + each crawl); "
+                    "the index-roll check then also verifies the "
+                    "rolled dup_grams boilerplate list against an "
+                    "independent recomputation")
     args = ap.parse_args()
 
     import incremental_rehearsal as incr
@@ -232,15 +353,36 @@ def main() -> int:
 
     # ---- phase A: v1 composed build, every gate on ----
     corpus = make_corpus(args.base, args.docs)
+    wrap_src = corpus
+    boiler_spans: "list[str]" = []
+    n_pairs_v1 = 100
+    if args.scrub_dup_spans:
+        # plant boilerplate PAIRS (shared 20-token span, unique
+        # fillers): whole-doc near-dups are collapsed by LSH and
+        # span-heavy docs by the drop gate, so the splice would
+        # otherwise see an organically-empty keep-set
+        aug = os.path.join(args.base, f"aug{args.docs}")
+        boiler_spans = augment_boiler(
+            corpus, aug, n_pairs=n_pairs_v1, reuse_spans=[], seed=4242
+        )
+        wrap_src = aug
     v1_in = os.path.join(args.base, f"interleaved{args.docs}")
-    wrap_interleaved(corpus, v1_in)
+    wrap_interleaved(wrap_src, v1_in)
     v1_out = os.path.join(args.base, f"v1_out{args.docs}")
     s1 = run_job(
         v1_in, v1_out, os.path.join(args.base, "ckpt_v1"),
         args.buckets, args.dup_span_frac,
+        scrub_dup_spans=args.scrub_dup_spans,
     )
     print(json.dumps({"v1_summary": s1}), flush=True)
     inv1 = check_invariants(corpus, v1_out, s1)
+    if args.scrub_dup_spans:
+        # at least half the planted boiler docs must reach the splice
+        # (gates may drop a few) -- 0 scrubbed docs would mean the
+        # chain never exercised the stage
+        inv1["boiler_scrubbed_ok"] = (
+            s1["dup_span_scrubbed_docs"] >= n_pairs_v1
+        )
     print(json.dumps({"v1_invariants": inv1}), flush=True)
     bad += [f"v1:{k}" for k, v in inv1.items() if isinstance(v, bool) and not v]
 
@@ -261,15 +403,34 @@ def main() -> int:
         incr.NOVEL_SEED = 777 + v
         incr.PERTURB_SEED = 778 + 100 * v
         batch = incr.build_batch(prior_out, crawl_base, tag=str(v))
+        if args.scrub_dup_spans:
+            # fresh pairs (batch-internal dups -> enter the rolled
+            # list) + one doc per PRIOR span (duplicated only against
+            # earlier versions -> spliced purely via the index's
+            # rolled list: the replay path)
+            augb = os.path.join(crawl_base, "docs_aug")
+            new_spans = augment_boiler(
+                batch, augb, n_pairs=25,
+                reuse_spans=boiler_spans[:25],
+                seed=4242 + v, tag=str(v),
+            )
+            boiler_spans = new_spans + boiler_spans
+            batch = augb
         vin = os.path.join(crawl_base, "interleaved")
         wrap_interleaved(batch, vin)
         vout = os.path.join(args.base, f"v{v}_out")
         s = run_job(
             vin, vout, os.path.join(crawl_base, "ckpt"),
             8, args.dup_span_frac, incremental=prior_out,
+            scrub_dup_spans=args.scrub_dup_spans,
         )
         print(json.dumps({f"v{v}_summary": s}), flush=True)
         g = incr.grade(batch, vout, prior_out, s)
+        if args.scrub_dup_spans:
+            # 25 fresh pairs + 25 prior-span reuse docs entered; the
+            # gates may drop a few, but a near-zero count means the
+            # splice/replay path never ran
+            g["boiler_scrubbed_ok"] = s["dup_span_scrubbed_docs"] >= 25
         print(json.dumps({f"v{v}_grades": g}), flush=True)
         bad += [
             f"v{v}:{k}" for k, v_ in g.items()

@@ -133,9 +133,17 @@ def check_invariants(
     con = duckdb.connect()
     training = f"read_parquet('{out_dir}/training/*.parquet')"
     inv: dict = {}
+    # with --scrub-dup-spans on, n_tokens is POST-splice; the 30-token
+    # floor is a PRE-scrub ADMISSION gate, reconstructable from the
+    # dup_span_removed_tokens lineage column
+    admission = (
+        "n_tokens + coalesce(dup_span_removed_tokens, 0)"
+        if "dup_span_scrubbed_docs" in summary
+        else "n_tokens"
+    )
     row = con.sql(
-        f"SELECT count(*), count(DISTINCT content_hash), min(n_tokens), "
-        f"max(dup_bigram_frac) FROM {training}"
+        f"SELECT count(*), count(DISTINCT content_hash), "
+        f"min({admission}), max(dup_bigram_frac) FROM {training}"
     ).fetchone()
     inv["kept_rows"] = row[0]
     inv["kept_matches_summary"] = row[0] == summary["kept"]
