@@ -363,6 +363,7 @@ EXTRA = [
     # r8: streaming_incremental_dedup + dup_span_stats promoted into
     # the window (see the round-8 rotation in DEMOTED)
     "dup_span_scrub",  # r8 late: the dup-span REMOVAL transform
+    "bigram_pmi",  # r8 late: collocation mining (PMI top-k)
 ]
 
 

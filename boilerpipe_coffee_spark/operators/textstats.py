@@ -358,6 +358,91 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def bigram_pmi(spark, sf_dir, k: int = 20, min_n: int = 5):
+    """Collocation mining: top-k adjacent word pairs by pointwise
+    mutual information — the standard corpus-analysis signal for
+    multi-word expressions and tokenizer-merge candidates
+    (pmi = ln(P(w1 w2) / (P(w1) P(w2))) over adjacent-pair and
+    unigram distributions, min support ``min_n``).
+
+    Scale shape: three map-side-combined aggregations (bigram counts
+    via the shared ``shingles(2)`` expr, unigram counts, two one-row
+    totals as broadcast cross joins); the unigram side joins TWICE
+    (w1, w2) with NO broadcast hint (web-scale vocab — the
+    unigram_logprob_quality reasoning); final top-k is TakeOrdered on
+    the RAW ratio (pure IEEE mult/div of identical ints — bit-stable
+    across engines, unlike ln which may differ by 1 ulp between
+    libms), with the bigram string as tie-break; ln+round(4) applied
+    AFTER selection."""
+    from ..functions import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("un"))
+    nu = toks.agg(F.count("*").cast("double").alias("nu"))
+    big = docs.select(F.explode(F.expr(shingles(2))).alias("bigram"))
+    nb = big.agg(F.count("*").cast("double").alias("nb"))
+    bc = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_n)
+    )
+    j = (
+        bc.withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+        .join(uni.select(F.col("term").alias("w1"), F.col("un").alias("n1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("un").alias("n2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .withColumn(
+            "raw",
+            F.col("n") / F.col("nb") * F.col("nu") / F.col("n1")
+            * F.col("nu") / F.col("n2"),
+        )
+    )
+    return (
+        j.orderBy(F.desc("raw"), "bigram")
+        .limit(k)
+        .select("bigram", "n", F.round(F.log("raw"), 4).alias("pmi"))
+    )
+
+
+def _bigram_pmi_sql(k: int = 20, min_n: int = 5) -> str:
+    from ..functions import shingles_duck
+
+    # the ratio expression mirrors the Spark column EXACTLY (same
+    # operand order, all-double after the first division) so the
+    # top-k selection boundary is bit-identical
+    return f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_DUCK}) AS term FROM documents
+), uni AS (
+  SELECT term, count(*)::BIGINT AS un FROM toks GROUP BY term
+), nu AS (
+  SELECT count(*)::DOUBLE AS nu FROM toks
+), big AS (
+  SELECT unnest({shingles_duck(2)}) AS bigram FROM documents
+), nb AS (
+  SELECT count(*)::DOUBLE AS nb FROM big
+), bc AS (
+  SELECT bigram, count(*)::BIGINT AS n FROM big
+  GROUP BY bigram HAVING count(*) >= {min_n}
+), j AS (
+  SELECT bc.bigram, bc.n,
+         bc.n / nb.nb * nu.nu / u1.un * nu.nu / u2.un AS raw
+  FROM bc
+  JOIN uni u1 ON u1.term = split_part(bc.bigram, ' ', 1)
+  JOIN uni u2 ON u2.term = split_part(bc.bigram, ' ', 2)
+  CROSS JOIN nb CROSS JOIN nu
+)
+SELECT bigram, n, round(ln(raw), 4) AS pmi
+FROM j ORDER BY raw DESC, bigram LIMIT {k}
+"""
+
+
+BIGRAM_PMI_SQL = _bigram_pmi_sql()
+
+
 def unigram_logprob_quality(spark, sf_dir):
     """Perplexity-lite quality signal: average per-token unigram log
     probability under the corpus's own unigram distribution -- the
@@ -1580,6 +1665,7 @@ QUERIES = {
     "dup_span_scrub": dup_span_scrub,
     "packing_stats": packing_stats,
     "top_terms": top_terms,
+    "bigram_pmi": bigram_pmi,
     "tfidf_top_terms": tfidf_top_terms,
     "unigram_logprob_quality": unigram_logprob_quality,
     "lang_id": lang_id,
@@ -1600,6 +1686,7 @@ ORACLES = {
     "dup_span_scrub": DUP_SPAN_SCRUB_SQL,
     "packing_stats": PACKING_SQL,
     "top_terms": TOP_TERMS_SQL,
+    "bigram_pmi": BIGRAM_PMI_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "unigram_logprob_quality": UNIGRAM_LOGPROB_SQL,
     "lang_id": LANG_ID_SQL,
