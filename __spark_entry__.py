@@ -364,6 +364,7 @@ EXTRA = [
     # the window (see the round-8 rotation in DEMOTED)
     "dup_span_scrub",  # r8 late: the dup-span REMOVAL transform
     "bigram_pmi",  # r8 late: collocation mining (PMI top-k)
+    "source_mixture_sample",  # r8 late: data-mixing rates + pick
 ]
 
 

@@ -1179,6 +1179,104 @@ def stratified_sample(spark, sf_dir, frac: float = SAMPLE_FRAC):
     )
 
 
+MIX_BUDGET_FRAC = 0.5
+
+
+def source_mixture_sample(
+    spark, sf_dir, budget_frac: float = MIX_BUDGET_FRAC
+):
+    """Pretraining data MIXING: give every source an equal share of a
+    total token budget (``budget_frac`` of the corpus), derive each
+    source's deterministic sampling rate
+    ``min(1, share / source_tokens)``, and report achieved docs/tokens
+    under the same hash-threshold pick as :func:`stratified_sample`
+    (no RNG state, identical decisions on every engine / run /
+    partitioning — what makes a mixed corpus resumable and auditable).
+    Over-budget sources are downsampled toward the share; under-budget
+    sources keep everything (rate caps at 1) — the standard mixing
+    behavior.  The rate lands as an INTEGER basis-point threshold
+    (``rate_bp``), so the per-doc decision is exact integer
+    arithmetic, not a float compare.
+
+    Scale shape: one token-count pass (map-side combined per-source
+    agg), a #sources-row rate table broadcast back, and one
+    scan+filter — no corpus shuffle."""
+    from ..functions import h64
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(_TOKENS)).alias("nt")
+    )
+    per = docs.groupBy("source").agg(F.sum("nt").alias("tokens"))
+    tot = per.agg(
+        F.sum("tokens").cast("double").alias("tt"),
+        F.count("*").cast("double").alias("ns"),
+    )
+    rates = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.floor(
+                    F.col("tt") * F.lit(budget_frac) / F.col("ns")
+                    / F.col("tokens") * F.lit(10000)
+                ),
+            )
+            .cast("int")
+            .alias("rate_bp"),
+        )
+    )
+    picked = (h64(F.col("doc_id").cast("string")) % _SAMPLE_MOD) < F.col(
+        "rate_bp"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("tokens"),
+            F.max("rate_bp").alias("rate_bp"),
+            F.sum(F.when(picked, 1).otherwise(0)).alias("sampled_docs"),
+            F.sum(F.when(picked, F.col("nt")).otherwise(0)).alias(
+                "sampled_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _source_mixture_sql(budget_frac: float = MIX_BUDGET_FRAC) -> str:
+    from ..functions import h64_duck
+
+    pick = f"{h64_duck('d.doc_id::VARCHAR')} % {_SAMPLE_MOD} < r.rate_bp"
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, len({_TOKENS_DUCK})::BIGINT AS nt FROM documents
+), per AS (
+  SELECT source, sum(nt)::BIGINT AS tokens FROM d GROUP BY source
+), tot AS (
+  SELECT sum(tokens)::DOUBLE AS tt, count(*)::DOUBLE AS ns FROM per
+), rates AS (
+  -- operand order mirrors the Spark column exactly (all-double after
+  -- the first multiply) so the floor() boundary is bit-identical
+  SELECT source,
+         least(10000, floor(tot.tt * {budget_frac} / tot.ns
+                            / per.tokens * 10000))::INT AS rate_bp
+  FROM per CROSS JOIN tot
+)
+SELECT d.source, count(*)::BIGINT AS n_docs, sum(d.nt)::BIGINT AS tokens,
+       max(r.rate_bp) AS rate_bp,
+       sum(CASE WHEN {pick} THEN 1 ELSE 0 END)::BIGINT AS sampled_docs,
+       sum(CASE WHEN {pick} THEN d.nt ELSE 0 END)::BIGINT
+         AS sampled_tokens
+FROM d JOIN rates r USING (source)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+SOURCE_MIXTURE_SQL = _source_mixture_sql()
+
+
 def _stratified_sample_sql() -> str:
     from ..functions import h64_duck
 
@@ -1675,6 +1773,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "doc_chunks": doc_chunks,
     "stratified_sample": stratified_sample,
+    "source_mixture_sample": source_mixture_sample,
 }
 
 ORACLES = {
@@ -1696,4 +1795,5 @@ ORACLES = {
     "repetition_stats": REPETITION_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "source_mixture_sample": SOURCE_MIXTURE_SQL,
 }
