@@ -281,3 +281,16 @@ def test_ivf_assign_is_partial_agg_argmax_not_window(spark):
 
     # exactly ONE data exchange: the N-row groupBy(vec_id) shuffle
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_source_mixture_rates_join_broadcasts(spark):
+    """The per-source rate table (#sources rows) must broadcast back
+    onto the docs scan -- the sampling decision is scan+filter, never
+    a corpus-side shuffle for the join."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        source_mixture_sample,
+    )
+
+    plan = _plan(source_mixture_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
