@@ -133,6 +133,8 @@ SUITE = [
     "doc_fingerprint",
     "repetition_stats",
     "top_terms",
+    "bigram_pmi",
+    "source_mixture_sample",
     "tfidf_top_terms",
     "unigram_logprob_quality",
     "contamination_check",
