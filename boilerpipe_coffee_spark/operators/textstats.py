@@ -879,6 +879,86 @@ def dup_grams_df(
     )
 
 
+_SCRUB_SPLIT_RE = None
+_SCRUB_FIND_RE = None
+
+
+def scrub_one(
+    text: "str | None", dps, w: int, normal_form: bool
+) -> "tuple[int, int, str]":
+    """Pure per-doc core of :func:`dup_span_scrub_df`:
+    (text, duplicated window positions, width) ->
+    (n_tokens, removed_tokens, scrubbed_text).  Module-level so the
+    hypothesis property suite can drive it without Spark — the
+    re-fetch exact-match path depends on its IDEMPOTENCE (splicing an
+    already-spliced doc against the same gram set must be a no-op),
+    which is asserted there.
+
+    normal_form=False splices the ORIGINAL bytes: offsets come from
+    case-insensitive matching on raw text (lower() is not
+    length-preserving for some Unicode); if exotic case folding makes
+    that token stream diverge from the gram stage's lower-then-split
+    stream, THIS doc falls back to normal form — misaligned positions
+    would cut the wrong tokens."""
+    import re
+
+    import numpy as np
+
+    global _SCRUB_SPLIT_RE, _SCRUB_FIND_RE
+    if _SCRUB_SPLIT_RE is None:
+        _SCRUB_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+        _SCRUB_FIND_RE = re.compile(r"[a-zA-Z0-9]+")
+
+    raw = text or ""
+    toks = [t for t in _SCRUB_SPLIT_RE.split(raw.lower()) if t]
+    splice = not normal_form
+    if splice:
+        spans = [m.span() for m in _SCRUB_FIND_RE.finditer(raw)]
+        if [raw[s:e].lower() for s, e in spans] != toks:
+            splice = False
+    n = len(toks)
+    if dps is None or len(dps) == 0:
+        return n, 0, (raw if splice else " ".join(toks))
+
+    # interval union without materializing w rows per window: +1 at
+    # each start, -1 past each end, prefix-sum > 0 = covered
+    delta = np.zeros(n + 1, dtype=np.int64)
+    p = np.asarray(dps, dtype=np.int64)
+    np.add.at(delta, p, 1)
+    np.add.at(delta, np.minimum(p + w, n), -1)
+    covered = np.cumsum(delta[:n]) > 0
+    n_rm = int(covered.sum())
+    if not splice:
+        return n, n_rm, " ".join(
+            t for t, c in zip(toks, covered) if not c
+        )
+
+    # cut each maximal covered token run from the ORIGINAL bytes; the
+    # cut extends to the next token's start (eating the separator
+    # run), or back to the previous token's end when the run closes
+    # the doc
+    pieces, cursor, i = [], 0, 0
+    while i < n:
+        if not covered[i]:
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and covered[j + 1]:
+            j += 1
+        s = spans[i][0]
+        if j + 1 < n:
+            e = spans[j + 1][0]
+        else:
+            e = len(raw)
+            if i > 0:
+                s = spans[i - 1][1]
+        pieces.append(raw[cursor:s])
+        cursor = e
+        i = j + 1
+    pieces.append(raw[cursor:])
+    return n, n_rm, "".join(pieces)
+
+
 def dup_span_scrub_df(
     df: DataFrame,
     text_col: str = "text",
@@ -915,9 +995,6 @@ def dup_span_scrub_df(
     byte-identical.  No SQL oracle for this mode (character-offset
     splicing is not expressible in the shared DuckDB surface); its
     gate is the planted byte-equality tests."""
-    import re
-
-    import numpy as np
     import pandas as pd
 
     from .dedup import _doc_id_sql_type
@@ -944,80 +1021,13 @@ def dup_span_scrub_df(
     )
     joined = base.join(dpos, "doc_id", "left")
 
-    tok_re = re.compile(r"[^a-z0-9]+")
-    tok_find_re = re.compile(r"[a-zA-Z0-9]+")
-
-    def _covered(dps, n):
-        # interval union without materializing w rows per window:
-        # +1 at each start, -1 past each end, prefix-sum > 0 = covered
-        delta = np.zeros(n + 1, dtype=np.int64)
-        p = np.asarray(dps, dtype=np.int64)
-        np.add.at(delta, p, 1)
-        np.add.at(delta, np.minimum(p + w, n), -1)
-        return np.cumsum(delta[:n]) > 0
-
-    def _splice(text, spans, covered):
-        # cut each maximal covered token run from the ORIGINAL bytes;
-        # the cut extends to the next token's start (eating the
-        # separator run), or back to the previous token's end when
-        # the run closes the doc
-        n = len(spans)
-        pieces, cursor, i = [], 0, 0
-        while i < n:
-            if not covered[i]:
-                i += 1
-                continue
-            j = i
-            while j + 1 < n and covered[j + 1]:
-                j += 1
-            s = spans[i][0]
-            if j + 1 < n:
-                e = spans[j + 1][0]
-            else:
-                e = len(text)
-                if i > 0:
-                    s = spans[i - 1][1]
-            pieces.append(text[cursor:s])
-            cursor = e
-            i = j + 1
-        pieces.append(text[cursor:])
-        return "".join(pieces)
-
     def scrub_fn(batches):
         for pdf in batches:
             ids, n_toks, removed, texts = [], [], [], []
             for doc_id, text, dps in zip(
                 pdf["doc_id"], pdf["text"], pdf["dps"]
             ):
-                raw = text or ""
-                toks = [t for t in tok_re.split(raw.lower()) if t]
-                splice = not normal_form
-                if splice:
-                    # offsets must index the ORIGINAL bytes (lower()
-                    # is not length-preserving for some Unicode), so
-                    # match case-insensitively on raw; if exotic case
-                    # folding makes that token stream diverge from
-                    # the gram stage's lower-then-split stream, fall
-                    # back to normal form for THIS doc — misaligned
-                    # positions would cut the wrong tokens
-                    spans = [
-                        m.span() for m in tok_find_re.finditer(raw)
-                    ]
-                    if [raw[s:e].lower() for s, e in spans] != toks:
-                        splice = False
-                n = len(toks)
-                if dps is None or len(dps) == 0:
-                    n_rm = 0
-                    out = raw if splice else " ".join(toks)
-                else:
-                    covered = _covered(dps, n)
-                    n_rm = int(covered.sum())
-                    if splice:
-                        out = _splice(raw, spans, covered)
-                    else:
-                        out = " ".join(
-                            t for t, c in zip(toks, covered) if not c
-                        )
+                n, n_rm, out = scrub_one(text, dps, w, normal_form)
                 ids.append(doc_id)
                 n_toks.append(n)
                 removed.append(n_rm)

@@ -213,3 +213,86 @@ def test_simhash64_reference_properties(toks):
     for b in range(64):
         bit = (v >> b) & 1 if b < 63 else (1 if v < 0 else 0)
         assert bit == (1 if votes[b] > 0 else 0)
+
+
+# ------------------------------------------------------------------ #
+# dup-span splice (scrub_one): the pure per-doc core                  #
+# ------------------------------------------------------------------ #
+
+_SCRUB_WORDS = st.lists(
+    st.text(alphabet=string.ascii_lowercase + string.digits,
+            min_size=1, max_size=6),
+    min_size=0, max_size=40,
+)
+
+
+def _doc_grams(text, w):
+    """Pure-python twin of the _gram_rows_df hashing (h64 of the
+    space-joined lowercase gram) for driving scrub_one in tests."""
+    import hashlib
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+    return [
+        int(
+            hashlib.md5(" ".join(toks[i:i + w]).encode()).hexdigest()[:15],
+            16,
+        )
+        for i in range(max(len(toks) - w + 1, 0))
+    ]
+
+
+@given(
+    docs=st.lists(_SCRUB_WORDS, min_size=2, max_size=6),
+    w=st.integers(min_value=2, max_value=4),
+    normal_form=st.booleans(),
+)
+@settings(max_examples=120, deadline=None)
+def test_scrub_one_invariants_and_idempotence(docs, w, normal_form):
+    """For ANY corpus and width: (1) n/removed arithmetic holds and
+    the scrubbed text tokenizes to exactly the kept count; (2) kept
+    tokens are a subsequence of the original tokens; (3) splicing the
+    scrubbed text AGAIN against the same gram set removes nothing --
+    the idempotence the dedup index's raw re-fetch replay relies on;
+    (4) docs with no duplicated windows come back byte-identical in
+    splice mode."""
+    import re
+
+    from boilerpipe_coffee_spark.operators.textstats import scrub_one
+
+    texts = [" ".join(d) for d in docs]
+    # duplicated grams: >= 2 distinct docs (the min!=max rule)
+    seen = {}
+    for i, t in enumerate(texts):
+        for g in _doc_grams(t, w):
+            seen.setdefault(g, set()).add(i)
+    dup = {g for g, owners in seen.items() if len(owners) >= 2}
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    for t in texts:
+        grams = _doc_grams(t, w)
+        dps = [i for i, g in enumerate(grams) if g in dup]
+        n, removed, out = scrub_one(t, dps, w, normal_form)
+        toks = [x for x in tok_re.split(t.lower()) if x]
+        out_toks = [x for x in tok_re.split(out.lower()) if x]
+        assert n == len(toks)
+        assert len(out_toks) == n - removed
+        # kept tokens are a subsequence of the originals
+        it = iter(toks)
+        assert all(any(x == y for y in it) for x in out_toks)
+        if not dps and not normal_form:
+            assert out == t
+        # idempotence against the SAME gram set
+        grams2 = _doc_grams(out, w)
+        dps2 = [i for i, g in enumerate(grams2) if g in dup]
+        n2, removed2, out2 = scrub_one(out, dps2, w, normal_form)
+        assert removed2 == 0 or dps2, "removed without positions?"
+        if not dps2:
+            assert removed2 == 0
+            if not normal_form:
+                assert out2 == out
+        # a second full pass converges: nothing left after <= 1 more
+        if dps2:
+            grams3 = _doc_grams(out2, w)
+            dps3 = [i for i, g in enumerate(grams3) if g in dup]
+            assert not dps3, "splice did not converge in two passes"
