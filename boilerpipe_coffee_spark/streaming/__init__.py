@@ -151,6 +151,43 @@ def dedup_first_seen(docs: DataFrame) -> DataFrame:
     )
 
 
+def probe_index_foreach_batch(
+    stream_df: DataFrame, index_dir: str, out_dir: str, ckpt_dir: str
+):
+    """Stream-ingest against a MATERIALIZED dedup index via
+    ``foreachBatch`` — the escape hatch for index representations a
+    stateless stream-static join cannot probe: a ``dup_span_scrubbed``
+    index needs the dup_grams splice REPLAY on the probe side, which
+    aggregates per batch (collect of duplicated positions), illegal
+    in an append-mode streaming plan.  Each micro-batch runs the
+    exact batch operator (``probe_dedup_index`` — splice + PII replay
+    + asymmetric bucketed joins) and appends its decisions; drained
+    availableNow output equals the one-shot batch probe row-for-row
+    (micro-batch boundaries don't interact: the probe is per-doc
+    against static tables).
+
+    Replays after a mid-stream failure re-run at most one committed
+    epoch (parquet append is at-least-once across sink retries);
+    downstream consumers fold by doc_id, which is idempotent here
+    because every epoch emits identical rows for a given doc."""
+
+    def _probe(batch_df: DataFrame, _epoch_id: int) -> None:
+        from ..operators.dedup import probe_dedup_index
+
+        probe_dedup_index(
+            batch_df.sparkSession, batch_df, index_dir
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(result: DataFrame, out_dir: str, checkpoint_dir: str):
     """Run a streaming frame to a parquet sink until the backlog is
     drained; blocks until finished."""

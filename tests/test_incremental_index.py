@@ -468,6 +468,67 @@ def test_empty_dup_grams_index_probes_and_reads(spark, tmp_path_factory):
     assert n == 0
 
 
+def test_foreach_batch_probe_equals_batch_probe(spark, tmp_path_factory):
+    """Streaming ingestion against a SCRUBBED index: the dup_grams
+    splice replay aggregates per batch, so stream-static joins can't
+    express it -- probe_index_foreach_batch runs the batch operator
+    per micro-batch.  Drained availableNow output over several
+    micro-batches must equal the one-shot batch probe row-for-row."""
+    from boilerpipe_coffee_spark.operators.textstats import (
+        DUP_SPAN_W,
+        dup_grams_df,
+        dup_span_scrub_df,
+    )
+    from boilerpipe_coffee_spark.streaming import probe_index_foreach_batch
+
+    base = str(tmp_path_factory.mktemp("dix_stream_probe"))
+    boiler = " ".join(f"fs{i}" for i in range(DUP_SPAN_W + 6))
+    corpus = spark.createDataFrame(
+        [
+            ("c1", f"Corpus head alpha. {boiler} tail alpha."),
+            ("c2", f"Corpus head beta! {boiler} tail beta."),
+            ("c3", "A third corpus doc with only unique words."),
+        ],
+        "doc_id string, text string",
+    )
+    grams = dup_grams_df(corpus)
+    spliced = dup_span_scrub_df(
+        corpus, normal_form=False, grams=grams
+    ).select("doc_id", F.col("scrubbed_text").alias("text"))
+    idx = os.path.join(base, "idx")
+    build_dedup_index(spliced, idx, dup_span_scrubbed=True, dup_grams=grams)
+
+    # the batch: raw re-fetches (boilerplate intact) + one novel doc
+    batch = spark.createDataFrame(
+        [
+            ("c1", f"Corpus head alpha. {boiler} tail alpha."),
+            ("c3", "A third corpus doc with only unique words."),
+            ("z9", "an entirely novel incoming document body"),
+        ],
+        "doc_id string, text string",
+    )
+    want = sorted(
+        tuple(r) for r in probe_dedup_index(spark, batch, idx).collect()
+    )
+
+    drops = os.path.join(base, "drops")
+    batch.repartition(3).write.parquet(drops)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drops)
+    )
+    out = os.path.join(base, "out")
+    probe_index_foreach_batch(
+        stream, idx, out, os.path.join(base, "ckpt")
+    )
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert got == want
+    # the raw re-fetches exact-matched through the per-batch replay
+    rows = {r[0]: r for r in got}
+    assert rows["c1"][1] == "c1" and rows["c3"][1] == "c3"
+
+
 def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
     """Rolling a scrubbed index forward with raw-representation docs
     (or vice versa) must raise, not silently merge mixed hashes."""
