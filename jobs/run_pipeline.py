@@ -39,6 +39,14 @@ Stages (the composition a pretraining corpus build runs):
    level boilerplate pass that exact dedup misses when only a
    paragraph is shared and MinHash misses when the shared span is a
    small fraction of both docs.
+4d. DUP-SPAN SCRUB (--scrub-dup-spans) -- splice the duplicated spans
+   OUT of the surviving keep-set's ORIGINAL bytes instead of (or
+   after) dropping whole docs; never drops rows; n_tokens becomes the
+   post-splice count with dup_span_removed_tokens as lineage.  With
+   --emit-dedup-index the duplicated-gram list lands in the index
+   (dup_grams table) so incremental probes REPLAY the splice on raw
+   re-fetched text; --incremental splices against the prior list
+   union the batch's own duplicates and rolls that forward.
 5. OPTIONAL  -- --emit-chunks materializes context-window training
    chunks (token slices re-joined as chunk_text) -> <out>/chunks/;
    --with-media decodes media payloads (real PNG/WAV/GIF codecs,
