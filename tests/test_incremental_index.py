@@ -529,6 +529,54 @@ def test_foreach_batch_probe_equals_batch_probe(spark, tmp_path_factory):
     assert rows["c1"][1] == "c1" and rows["c3"][1] == "c3"
 
 
+def test_scrubbed_probe_still_shuffles_only_the_batch(
+    spark, tmp_path_factory
+):
+    """The probe's asymmetry invariant must survive the splice
+    replay: every non-broadcast Exchange in the scrubbed-probe plan
+    partitions on the BATCH side's doc_id — never on g / h /
+    band_key, which would mean an index-side table re-shuffled
+    instead of scanning its bucketed layout (or broadcasting, for
+    the small gram list)."""
+    import tempfile
+
+    from boilerpipe_coffee_spark.operators.textstats import (
+        DUP_SPAN_W,
+        dup_grams_df,
+        dup_span_scrub_df,
+    )
+
+    base = str(tmp_path_factory.mktemp("dix_scrub_plan"))
+    b = " ".join(f"pl{i}" for i in range(DUP_SPAN_W + 3))
+    corpus = spark.createDataFrame(
+        [
+            ("a", f"Head. {b} tail a."),
+            ("b", f"Other. {b} tail b."),
+            ("c", "unique words only here"),
+        ],
+        "doc_id string, text string",
+    )
+    grams = dup_grams_df(corpus)
+    spliced = dup_span_scrub_df(
+        corpus, normal_form=False, grams=grams
+    ).select("doc_id", F.col("scrubbed_text").alias("text"))
+    idx = os.path.join(base, "idx")
+    build_dedup_index(spliced, idx, dup_span_scrubbed=True, dup_grams=grams)
+    plan = (
+        probe_dedup_index(spark, corpus, idx)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bad = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and any(f"({k}#" in ln for k in ("g", "h", "band_key"))
+    ]
+    assert not bad, f"index-side exchange in scrubbed probe: {bad}"
+
+
 def test_update_rejects_representation_mismatch(spark, tmp_path_factory):
     """Rolling a scrubbed index forward with raw-representation docs
     (or vice versa) must raise, not silently merge mixed hashes."""
