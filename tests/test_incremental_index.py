@@ -538,7 +538,6 @@ def test_scrubbed_probe_still_shuffles_only_the_batch(
     band_key, which would mean an index-side table re-shuffled
     instead of scanning its bucketed layout (or broadcasting, for
     the small gram list)."""
-    import tempfile
 
     from boilerpipe_coffee_spark.operators.textstats import (
         DUP_SPAN_W,
