@@ -233,9 +233,47 @@ def _extraction_queries() -> dict[str, Callable]:
             .orderBy("doc_id", "out_order")
         )
 
+    def warc_hosts(spark, sf_dir):
+        """Per-host crawl accounting (round 8 late): fixture docs
+        shipped through gzipped WARC shards under real URLs with
+        planted REVISITS (the same URL re-crawled), then
+        sources.warc.host_stats -- record vs distinct-URL counts per
+        host (the fetch-level dedup signal above document dedup).
+        Rows-only (binary container pipeline); the deterministic
+        counts are pinned in tests/test_warc.py."""
+        import os
+
+        from boilerpipe_coffee_spark.fixtures import generate_doc
+        from boilerpipe_coffee_spark.sources.warc import (
+            host_stats,
+            read_warc,
+            spans_to_html,
+            write_warc,
+        )
+
+        wdir = "/tmp/bpc_warc_hosts_v1"
+        if not os.path.exists(os.path.join(wdir, "seg-3.warc.gz")):
+            os.makedirs(wdir, exist_ok=True)
+            docs = [generate_doc(i, seed=43) for i in range(100)]
+            recs = [
+                (
+                    f"https://host{i % 5}.example.com/page/{i}",
+                    spans_to_html(d),
+                )
+                for i, d in enumerate(docs)
+            ]
+            recs += recs[:20]  # revisits: same URL, same payload
+            for shard in range(4):
+                with open(
+                    os.path.join(wdir, f"seg-{shard}.warc.gz"), "wb"
+                ) as f:
+                    f.write(write_warc(recs[shard * 30 : (shard + 1) * 30]))
+        return host_stats(read_warc(spark, os.path.join(wdir, "*.warc.gz")))
+
     return {
         "pdf_ingest_extract": pdf_ingest,
         "warc_ingest_extract": warc_ingest,
+        "warc_host_stats": warc_hosts,
         "extract_unfiltered_spans": unfiltered,
         "extract_article_spans": article,
         "extract_default_spans": default,

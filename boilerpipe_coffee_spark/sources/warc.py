@@ -266,6 +266,38 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, schema=WARC_ROW_SCHEMA)
 
 
+def host_stats(warc_rows: DataFrame) -> DataFrame:
+    """Per-host crawl accounting over WARC response rows — the
+    URL-level view that sits ABOVE document dedup in a crawl
+    pipeline: record vs distinct-URL counts (their gap = revisits,
+    the fetch-level dedup signal), and payload volume.  Host is the
+    URL authority via ``regexp_extract`` (JVM-side, no Python UDF);
+    error rows and URL-less records are excluded.  One
+    map-side-combined aggregation keyed on host — at crawl scale
+    hosts are the natural skew axis, and a count/sum agg with
+    partial combine absorbs a hot host where a collect-style agg
+    would not."""
+    host = F.regexp_extract(
+        F.col("url"), r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1
+    )
+    return (
+        warc_rows.filter(
+            F.col("error").isNull() & F.col("url").isNotNull()
+        )
+        .select(host.alias("host"), "url", F.length("html").alias("b"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("url").alias("n_urls"),
+            F.sum("b").alias("html_chars"),
+        )
+        .withColumn(
+            "revisits", (F.col("n_records") - F.col("n_urls")).cast("bigint")
+        )
+        .orderBy("host")
+    )
+
+
 def spans_to_html(doc: dict) -> str:
     """Flatten one interleaved doc (fixtures shape) to the HTML byte
     stream a crawler would have stored: text spans verbatim, media

@@ -178,3 +178,39 @@ def test_run_extract_accepts_warc_input(tmp_path):
     s = json.loads(lines[-1])
     assert s["docs_out"] == 60
     assert s["buckets_run"] == 2
+
+
+def test_host_stats_counts_revisits(spark, tmp_path):
+    """Per-host accounting over a crawl with planted revisits: 5
+    hosts x 24 records (20 fresh + 4 re-crawls each); revisits =
+    records - distinct urls; error rows and URL-less records are
+    excluded."""
+    from boilerpipe_coffee_spark.fixtures import generate_doc
+    from boilerpipe_coffee_spark.sources.warc import (
+        host_stats,
+        read_warc,
+        spans_to_html,
+        write_warc,
+    )
+
+    docs = [generate_doc(i, seed=43) for i in range(100)]
+    recs = [
+        (f"https://host{i % 5}.example.com/page/{i}", spans_to_html(d))
+        for i, d in enumerate(docs)
+    ]
+    recs += recs[:20]
+    for shard in range(4):
+        with open(str(tmp_path / f"seg-{shard}.warc.gz"), "wb") as f:
+            f.write(write_warc(recs[shard * 30 : (shard + 1) * 30]))
+    got = {
+        r.host: r
+        for r in host_stats(
+            read_warc(spark, str(tmp_path / "*.warc.gz"))
+        ).collect()
+    }
+    assert set(got) == {f"host{i}.example.com" for i in range(5)}
+    for h, r in got.items():
+        assert r.n_records == 24, r
+        assert r.n_urls == 20, r
+        assert r.revisits == 4, r
+        assert r.html_chars > 0
