@@ -239,14 +239,22 @@ def minhash_candidate_pairs(
             n_docs if n_docs is not None else docs.count()
         )
     stacked = minhash_bands_df(docs, banding)
-    # bucket size via a window on band_key: ONE shuffle, and the
-    # resulting hash partitioning is exactly what the band self-join
-    # needs, so the join adds no further exchange
+    # bucket size via a window on band_key: ONE shuffle of the band
+    # rows.  The capped frame is then materialized once per invocation
+    # (eager localCheckpoint): both aliases of the self-join consume
+    # it, and without the barrier EACH side re-runs the Arrow
+    # signature pass over the whole corpus (2 corpus passes + 2 band
+    # shuffles -> 1, guide §8: the band table is the lightweight proxy
+    # — (doc_id, band_key) rows, b per doc — never the corpus text).
+    # localCheckpoint, not persist: the CacheManager matches persisted
+    # plans across invocations, which would turn a re-run into a
+    # silent cache read.
     bucket_n = F.count("*").over(Window.partitionBy("band_key"))
     capped = (
         stacked.withColumn("bucket_n", bucket_n)
         .filter(F.col("bucket_n") <= bucket_cap)
         .select("doc_id", "band_key")
+        .localCheckpoint()
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -657,10 +665,16 @@ def dedup_simhash_pairs(
         ).alias("chunk_key"),
     )
     bucket_n = F.count("*").over(Window.partitionBy("chunk_key"))
+    # materialized once per invocation (eager localCheckpoint): the
+    # self-join would otherwise run the Arrow signature pass + chunk
+    # window TWICE, once per alias (the minhash_candidate_pairs
+    # rationale; (doc_id, simhash, chunk_key) is the lightweight
+    # proxy, 4 rows per doc)
     capped = (
         chunks.withColumn("bucket_n", bucket_n)
         .filter(F.col("bucket_n") <= bucket_cap)
         .select("doc_id", "simhash", "chunk_key")
+        .localCheckpoint()
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -832,9 +846,29 @@ def dedup_minhash_verified(
     candidate-pair-sized (bounded by the bucket cap), with each side's
     distinct shingle set riding along once (Arrow-built, see
     :func:`shingle_sets_df`); the intersection is a columnar
-    array_intersect, no shingle explosion."""
-    pairs = _minhash_pairs(spark, sf_dir, bucket_cap)
-    sets = shingle_sets_df(_t(spark, sf_dir, "documents"))
+    array_intersect, no shingle explosion.
+
+    r9 scale shape: the pairs table is materialized once (it feeds
+    the verify join AND the candidate-id set), and the shingle sets
+    are built ONLY for documents that appear in some candidate pair —
+    a semi-join prunes the corpus before the Arrow set-build, so the
+    expensive distinct-shingle pass is candidate-sized, not
+    corpus-sized (guide §3.2: reduce the big side before the join;
+    non-candidates could never survive the inner verify joins).  The
+    candidate-sized sets frame is materialized once for its two
+    aliases (the minhash_candidate_pairs rationale).  Previously this
+    operator ran the corpus through Python FOUR times (2 sig + 2
+    set-build passes); now twice (1 sig + 1 pruned set-build)."""
+    pairs = _minhash_pairs(spark, sf_dir, bucket_cap).localCheckpoint()
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = _t(spark, sf_dir, "documents").join(
+        cand_ids, "doc_id", "left_semi"
+    )
+    sets = shingle_sets_df(cand_docs).localCheckpoint()
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

@@ -336,6 +336,21 @@ ORDER BY d.doc_id
 REPETITION_SQL = _repetition_sql()
 
 
+def _tok_explode(docs, *cols):
+    """Token rows via fully-codegen explode(split) + ``term != ''``
+    instead of exploding the shared ``_TOKENS`` expr: the
+    ``filter(..., lambda)`` higher-order function is interpreted by
+    Catalyst (never codegen'd — the r3/r6/r7 lesson), and dropping
+    empty tokens AFTER the explode is the same multiset (split only
+    introduces empty strings at boundaries).  Measured at sf1.0:
+    1.67 s -> 0.97 s per explode+count pass (guide §4.1: prefer
+    built-ins the JVM can codegen)."""
+    return docs.select(
+        *cols,
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
 def top_terms(spark, sf_dir, k: int = 20):
     """Corpus-wide exact heavy hitters: token counts via the canonical
     explode -> map-side-combined groupBy -> TakeOrdered top-k (partial
@@ -343,7 +358,7 @@ def top_terms(spark, sf_dir, k: int = 20):
     Deterministic tie-break on the term itself."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
+        _tok_explode(docs)
         .groupBy("term")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "term")
@@ -365,27 +380,76 @@ def bigram_pmi(spark, sf_dir, k: int = 20, min_n: int = 5):
     (pmi = ln(P(w1 w2) / (P(w1) P(w2))) over adjacent-pair and
     unigram distributions, min support ``min_n``).
 
-    Scale shape: three map-side-combined aggregations (bigram counts
-    via the shared ``shingles(2)`` expr, unigram counts, two one-row
-    totals as broadcast cross joins); the unigram side joins TWICE
-    (w1, w2) with NO broadcast hint (web-scale vocab — the
-    unigram_logprob_quality reasoning); final top-k is TakeOrdered on
-    the RAW ratio (pure IEEE mult/div of identical ints — bit-stable
-    across engines, unlike ln which may differ by 1 ulp between
-    libms), with the bigram string as tie-break; ln+round(4) applied
-    AFTER selection."""
-    from ..functions import shingles
+    Scale shape (r9 vectorization — the r3/r6/r7 HOF lesson, fourth
+    instance): ONE Arrow ``mapInPandas`` pass over the corpus emits
+    per-task partial counts (key, is_bigram, partial_n) — a Counter
+    per task plays the role of the map-side combine, so the rows
+    crossing the Python boundary and the single exchange are
+    vocab-sized, not token-count-sized.  Everything downstream (the
+    unigram table, both one-row totals, the min-support bigram table)
+    is derived from that ONE counted frame, which is materialized
+    once per invocation with an eager ``localCheckpoint`` (the
+    guide-§8 shape: decide with small rows — the five consumers would
+    otherwise each re-run the corpus pass, because the ``b=0/1``
+    branch filters push below each branch's exchange and defeat
+    exchange reuse; a ``persist`` is NOT equivalent here — the
+    CacheManager matches by canonicalized plan, so a later identical
+    invocation would silently read the previous run's cache).  The
+    declarative form scanned the corpus five times through the
+    interpreted shingle/token HOFs: 53 s at sf1 vs sub-second
+    siblings.  ``nb`` is summed BEFORE the min-support filter,
+    exactly like the old ``count(*)`` over the raw explode.
+    The unigram side still joins TWICE (w1, w2) with NO broadcast
+    hint (web-scale vocab — the unigram_logprob_quality reasoning);
+    final top-k is TakeOrdered on the RAW ratio (pure IEEE mult/div
+    of identical ints — bit-stable across engines, unlike ln which
+    may differ by 1 ulp between libms), with the bigram string as
+    tie-break; ln+round(4) applied AFTER selection.  Tokenizer =
+    the proven-hash-exact Python twin of the shared ``_TOKENS`` expr
+    (same regex/lower as ``_gram_rows_df`` / ``shingle_sets_df``)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(F.explode(F.expr(_TOKENS)).alias("term"))
-    uni = toks.groupBy("term").agg(F.count("*").alias("un"))
-    nu = toks.agg(F.count("*").cast("double").alias("nu"))
-    big = docs.select(F.explode(F.expr(shingles(2))).alias("bigram"))
-    nb = big.agg(F.count("*").cast("double").alias("nb"))
-    bc = (
-        big.groupBy("bigram")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= min_n)
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def counts_fn(batches):
+        uni_c: Counter = Counter()
+        big_c: Counter = Counter()
+        for pdf in batches:
+            for text in pdf["text"]:
+                toks = [t for t in tok_re.split((text or "").lower()) if t]
+                uni_c.update(toks)
+                big_c.update(
+                    a + " " + b for a, b in zip(toks, toks[1:])
+                )
+        if uni_c or big_c:
+            yield pd.DataFrame(
+                {
+                    "k": list(uni_c.keys()) + list(big_c.keys()),
+                    "b": [0] * len(uni_c) + [1] * len(big_c),
+                    "c": list(uni_c.values()) + list(big_c.values()),
+                }
+            )
+
+    counts = docs.select("text").mapInPandas(
+        counts_fn, "k string, b int, c long"
+    )
+    agg = (
+        counts.groupBy("b", "k")
+        .agg(F.sum("c").alias("cnt"))
+        .localCheckpoint()
+    )
+    uni = agg.filter(F.col("b") == 0).select(
+        F.col("k").alias("term"), F.col("cnt").alias("un")
+    )
+    bcnt = agg.filter(F.col("b") == 1)
+    nu = uni.agg(F.sum("un").cast("double").alias("nu"))
+    nb = bcnt.agg(F.sum("cnt").cast("double").alias("nb"))
+    bc = bcnt.filter(F.col("cnt") >= min_n).select(
+        F.col("k").alias("bigram"), F.col("cnt").alias("n")
     )
     j = (
         bc.withColumn("w1", F.split("bigram", " ")[0])
@@ -457,11 +521,23 @@ def unigram_logprob_quality(spark, sf_dir):
     executors.  At test SFs AQE broadcasts it anyway; at scale it falls
     back to a term-keyed shuffle join, which is the correct plan."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
-    vocab = toks.groupBy("term").agg(F.count("*").alias("tc"))
-    # token total as an in-plan one-row aggregate (broadcast cross
-    # join), not a separate eager count() action over the corpus
-    total = toks.agg(F.count("*").cast("double").alias("n_total"))
+    toks = _tok_explode(docs, "doc_id")
+    # the vocab aggregate is materialized once per invocation (eager
+    # localCheckpoint): it feeds BOTH the score join and the token
+    # total, and without the barrier each consumer re-runs the whole
+    # corpus scan+explode (the join adds an isnotnull(term) filter to
+    # its copy of the subtree, so exchange reuse never fires — checked
+    # in the executed plan).  The vocab table is the SMALL side by
+    # construction (true vocabulary, not corpus-sized), exactly what
+    # guide §8 says to materialize.  total = sum of term counts ==
+    # count of all tokens (exact integer identity) — removes the old
+    # third corpus pass.  r9: 3 corpus scans -> 2.
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("tc"))
+        .localCheckpoint()
+    )
+    total = vocab.agg(F.sum("tc").cast("double").alias("n_total"))
     scored = (
         toks.join(vocab, "term")
         .crossJoin(F.broadcast(total))
@@ -505,7 +581,7 @@ def tfidf_top_terms(spark, sf_dir, k: int = 3):
     (10^8+ terms on web scale) and a forced broadcast OOMs executors;
     AQE broadcasts it at small SF and shuffle-joins at scale."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+    toks = _tok_explode(docs, "doc_id")
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
@@ -1416,7 +1492,17 @@ def quality_histogram_quantiles(spark, sf_dir):
     bins = q.select(
         F.expr("CAST(round(quality * 10000) AS BIGINT) DIV 10").alias("bin")
     )
-    hist = bins.groupBy("bin").agg(F.count("*").alias("n"))
+    # materialize the <=1000-row histogram once per invocation (eager
+    # localCheckpoint): it feeds THREE consumers (both sides of the
+    # cumulative self-join and the total), and each would otherwise
+    # re-run the full corpus quality pass (3 scans -> 1, guide §8:
+    # decide with small rows; measured 7.4 s -> one quality pass at
+    # sf1.0)
+    hist = (
+        bins.groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
     a = hist.alias("a")
     b = hist.alias("b")
     cum = (
