@@ -101,8 +101,20 @@ def minhash_banding(n_docs: int) -> "tuple[int, int]":
     return b, r
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Driver-table reader; ``spread=True`` applies the conditional
+    scan-parallelism floor (see :mod:`.scanspread`) for the
+    compute-heavy signature/shingle stages, which a single-row-group
+    test table would otherwise serialize on one core."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread:
+        from .scanspread import spread_scan
+
+        df = spread_scan(spark, df, path)
+    return df
 
 
 from ..functions import h64 as _h64  # noqa: E402  (shared cross-engine hash)
@@ -250,11 +262,19 @@ def minhash_candidate_pairs(
     # plans across invocations, which would turn a re-run into a
     # silent cache read.
     bucket_n = F.count("*").over(Window.partitionBy("band_key"))
+    # the re-spread after the checkpoint restores full parallelism
+    # for the in-bucket pair join (the checkpointed frame keeps the
+    # window's AQE-coalesced ~1-partition layout; see the
+    # dedup_embedding_lsh_pairs note) at the cost of one tiny proxy
+    # shuffle, which the band-keyed join then reuses
     capped = (
         stacked.withColumn("bucket_n", bucket_n)
         .filter(F.col("bucket_n") <= bucket_cap)
         .select("doc_id", "band_key")
         .localCheckpoint()
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "band_key"
+        )
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -269,8 +289,13 @@ def minhash_candidate_pairs(
 
 
 def _minhash_pairs(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
+    # corpus size from the UN-spread scan (parquet-footer metadata
+    # count); the spread frame's count() would execute the repartition
+    n_docs = _t(spark, sf_dir, "documents").count()
     return minhash_candidate_pairs(
-        _t(spark, sf_dir, "documents"), bucket_cap
+        _t(spark, sf_dir, "documents", spread=True),
+        bucket_cap,
+        n_docs=n_docs,
     )
 
 
@@ -573,7 +598,9 @@ def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
 
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash over the distinct token set."""
-    return simhash_sigs_df(_t(spark, sf_dir, "documents")).orderBy(
+    return simhash_sigs_df(
+        _t(spark, sf_dir, "documents", spread=True)
+    ).orderBy(
         "doc_id"
     )
 
@@ -645,7 +672,7 @@ def dedup_simhash_pairs(
 
     # unsorted signatures: dedup_simhash's presentation orderBy would
     # inject a global range exchange per join side for nothing
-    sig = simhash_sigs_df(_t(spark, sf_dir, "documents"))
+    sig = simhash_sigs_df(_t(spark, sf_dir, "documents", spread=True))
     # single join key = chunk_idx * 2^16 + chunk_val: one column to
     # window over AND to join on (shuffle partitioning reused)
     chunks = sig.select(
@@ -675,6 +702,9 @@ def dedup_simhash_pairs(
         .filter(F.col("bucket_n") <= bucket_cap)
         .select("doc_id", "simhash", "chunk_key")
         .localCheckpoint()
+        .repartition(
+            spark.sparkContext.defaultParallelism, "chunk_key"
+        )
     )
     a = capped.alias("a")
     b = capped.alias("b")
@@ -731,7 +761,7 @@ def simhash_chunk_stats(spark, sf_dir, bucket_cap: int = BUCKET_CAP):
     the surviving-candidate upper bound + ratio -- the number an
     operator watches to see a boilerplate flood before it sees a slow
     pairing join.  O(buckets) frame, no pair materialization."""
-    sig = simhash_sigs_df(_t(spark, sf_dir, "documents"))
+    sig = simhash_sigs_df(_t(spark, sf_dir, "documents", spread=True))
     chunks = sig.select(
         "doc_id",
         F.explode(
@@ -865,7 +895,7 @@ def dedup_minhash_verified(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cand_docs = _t(spark, sf_dir, "documents").join(
+    cand_docs = _t(spark, sf_dir, "documents", spread=True).join(
         cand_ids, "doc_id", "left_semi"
     )
     sets = shingle_sets_df(cand_docs).localCheckpoint()

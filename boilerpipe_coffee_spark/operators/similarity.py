@@ -35,7 +35,15 @@ N_QUERIES = 3  # vec_id 0..2 are the query vectors
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Driver-table reader with the conditional scan-parallelism
+    floor (see :mod:`.scanspread`): every similarity operator runs
+    per-vector projection/dot-product work over the whole table, and
+    a single-row-group test table would otherwise serialize it on
+    one core.  The floor is a no-op on well-laid-out tables."""
+    from .scanspread import spread_scan
+
+    path = f"{sf_dir}/{name}.parquet"
+    return spread_scan(spark, spark.read.parquet(path), path)
 
 
 def plane_weight(p: int, d: int) -> float:
@@ -409,9 +417,11 @@ def dedup_embedding_lsh_pairs(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     # adaptive banding: one metadata-cheap count (parquet footer
-    # statistics -- no data scan) picks (B, T) via the shared policy
+    # statistics -- no data scan; taken on an UN-spread read so the
+    # count never executes the scan-floor repartition) picks (B, T)
+    # via the shared policy
     if n_rows is None:
-        n_rows = emb.count()
+        n_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     b_planes, t_tables = emb_banding(n_rows)
     tb = emb.select(
         "vec_id",
@@ -420,6 +430,14 @@ def dedup_embedding_lsh_pairs(
         ).alias("table_idx", "bucket"),
     )
     bucket_n = F.count("*").over(Window.partitionBy("table_idx", "bucket"))
+    # NOT checkpointed (r9, measured): the self-join does run the
+    # projection UDF + window once per alias, but both passes are
+    # cheap (ids-only proxy) and fully pipelined, while every
+    # materialization variant serialized the in-bucket PAIR EXPLOSION
+    # (~6M candidates at the sf1 rehearsal) behind the checkpointed
+    # frame's post-AQE layout: plain localCheckpoint +45%, checkpoint
+    # + bucket-keyed repartition ~6x worse.  The window's own hash
+    # partitioning feeding the join directly is the fastest shape.
     capped = (
         tb.withColumn("bucket_n", bucket_n)
         .filter(F.col("bucket_n") <= bucket_cap)
@@ -645,7 +663,10 @@ def ann_ivf_topk(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    assigned = _assign(emb, cents)
+    # materialized once (eager localCheckpoint): the query filter and
+    # the probe join both consume the assignment, which would
+    # otherwise run the scored cross-join + argmax twice (r9)
+    assigned = _assign(emb, cents).localCheckpoint()
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -790,7 +811,14 @@ def ann_ivf_trained_topk(spark, sf_dir):
             lambda s: F.round(s.m, 6),
         ).alias("cv")
     )
-    assigned1 = _assign(emb, cents1)
+    # materialized once (eager localCheckpoint): assigned1 feeds BOTH
+    # the query filter and the probe join, and each reference would
+    # otherwise re-run the entire seed->assign->Lloyd-mean->re-assign
+    # chain (two full scored cross-joins over the corpus per
+    # reference; the r9 plan had 30 Exchanges for this one query).
+    # The materialized frame is exactly the IVF index artifact a
+    # production build persists anyway.
+    assigned1 = _assign(emb, cents1).localCheckpoint()
 
     queries = assigned1.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -19,8 +19,22 @@ from ..functions import TOKENS as _TOKENS
 from ..functions import TOKENS_DUCK as _TOKENS_DUCK
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Driver-table reader.  ``spread=True`` applies the conditional
+    scan-parallelism floor (see :mod:`.scanspread`) — used by the
+    corpus-wide compute-heavy queries, where a single-row-group test
+    table would otherwise serialize the whole operator on one core.
+    Cheap row-level queries stay un-spread so a pruned ``count()``
+    never pays the repartition."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if spread:
+        from .scanspread import spread_scan
+
+        df = spread_scan(spark, df, path)
+    return df
 
 
 def _arr_lit(words):
@@ -115,10 +129,13 @@ def quality_expr():
     )
 
 
-def quality_score(spark, sf_dir):
+def quality_score(spark, sf_dir, spread: bool = False):
     """Composite quality score: length, mean word length, stopword
-    ratio, punctuation ratio -- the usual cheap pretraining filters."""
-    docs = _t(spark, sf_dir, "documents")
+    ratio, punctuation ratio -- the usual cheap pretraining filters.
+    ``spread`` applies the scan-parallelism floor — set by the
+    histogram-quantile consumer, whose count() cannot prune the
+    quality expression; the plain driver row stays un-spread."""
+    docs = _t(spark, sf_dir, "documents", spread=spread)
     toks = F.expr(_TOKENS)
     n_tok = F.size(toks)
     mean_wl = F.round(
@@ -356,7 +373,7 @@ def top_terms(spark, sf_dir, k: int = 20):
     explode -> map-side-combined groupBy -> TakeOrdered top-k (partial
     per-partition top-k, tiny final merge -- never a global sort).
     Deterministic tie-break on the term itself."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return (
         _tok_explode(docs)
         .groupBy("term")
@@ -412,7 +429,7 @@ def bigram_pmi(spark, sf_dir, k: int = 20, min_n: int = 5):
 
     import pandas as pd
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     tok_re = re.compile(r"[^a-z0-9]+")
 
     def counts_fn(batches):
@@ -520,7 +537,7 @@ def unigram_logprob_quality(spark, sf_dir):
     distinct-term table is 10^8-10^9 rows and a forced broadcast OOMs
     executors.  At test SFs AQE broadcasts it anyway; at scale it falls
     back to a term-keyed shuffle join, which is the correct plan."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     toks = _tok_explode(docs, "doc_id")
     # the vocab aggregate is materialized once per invocation (eager
     # localCheckpoint): it feeds BOTH the score join and the token
@@ -580,9 +597,20 @@ def tfidf_top_terms(spark, sf_dir, k: int = 3):
     NO broadcast hint: the distinct-term table is corpus-cardinality
     (10^8+ terms on web scale) and a forced broadcast OOMs executors;
     AQE broadcasts it at small SF and shuffle-joins at scale."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     toks = _tok_explode(docs, "doc_id")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # the per-doc term-frequency table is materialized once per
+    # invocation (eager localCheckpoint): both the document-frequency
+    # aggregate and the score join consume it, and each would
+    # otherwise re-run the corpus explode + (doc_id, term) aggregate
+    # (measured 2.7 s/pass at sf1.0 — half the query).  tf is the
+    # compressed proxy (distinct terms per doc), well under the raw
+    # token stream it replaces.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
@@ -931,7 +959,9 @@ def dup_span_scrub(spark, sf_dir):
     to the docs, and a vectorized Arrow scrub pass (interval-union via
     prefix sum; no per-token Python)."""
     return dup_span_scrub_df(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
+        _t(spark, sf_dir, "documents", spread=True).select(
+            "doc_id", "text"
+        )
     ).orderBy("doc_id")
 
 
@@ -1286,7 +1316,11 @@ def source_mixture_sample(
 
     Scale shape: one token-count pass (map-side combined per-source
     agg), a #sources-row rate table broadcast back, and one
-    scan+filter — no corpus shuffle."""
+    scan+filter — no corpus shuffle.  Deliberately NOT materialized
+    or spread (r9, measured): a consumer that only counts rows prunes
+    this plan down to distinct(source) — no tokenize at all — and any
+    eager barrier would force the full compute on it; the two lazy
+    passes also stay individually cheap."""
     from ..functions import h64
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1387,7 +1421,7 @@ def doc_chunks(spark, sf_dir):
     ``sequence`` + ``posexplode`` inside the row -- no join, no
     shuffle; linear in output size at any corpus scale.  Zero-token
     documents contribute zero chunks."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     nt = F.size(F.expr(_TOKENS))
     d = (
         docs.select("doc_id", nt.alias("n_tokens"))
@@ -1488,7 +1522,67 @@ def quality_histogram_quantiles(spark, sf_dir):
     thresholds one conditional aggregate.  Like approx_distinct_kmv,
     this is an approximate aggregate that still passes an EXACT
     cross-engine gate because the sketch itself is deterministic."""
-    q = quality_score(spark, sf_dir).select("quality")
+    # r9: the quality components come from ONE Arrow pass emitting
+    # EXACT INTEGERS (token count, stopword hits, text length,
+    # punct-stripped length) — the declarative quality expression
+    # re-evaluates the interpreted tokenize/filter HOFs several times
+    # per row and alone cost ~9 s at sf1.0.  Every float operation,
+    # ROUND (Spark's HALF_UP — Python's round() is banker's and must
+    # never be used here) and the binning stay JVM-side, built from
+    # those integers with the exact operand order of
+    # ``quality_expr()``, so the result is bit-identical to the
+    # declarative form (the oracle row pins it at every SF).  The
+    # Python ``\\s`` is pinned to ASCII so the punct class matches
+    # Java's (the PII-scrub lesson: unicode \\s has extra members).
+    import re as _re
+
+    import pandas as pd
+
+    _stop = frozenset(STOPWORDS["en"])
+    _tok_re = _re.compile(r"[^a-z0-9]+")
+    _punct_re = _re.compile(r"[^a-zA-Z0-9\s]", _re.ASCII)
+
+    def q_parts(batches):
+        for pdf in batches:
+            nt, sh, tl, pl = [], [], [], []
+            for text in pdf["text"]:
+                if text is None:
+                    nt.append(None); sh.append(None)
+                    tl.append(None); pl.append(None)
+                    continue
+                toks = [t for t in _tok_re.split(text.lower()) if t]
+                nt.append(len(toks))
+                sh.append(sum(1 for t in toks if t in _stop))
+                tl.append(len(text))
+                pl.append(len(_punct_re.sub("", text)))
+            yield pd.DataFrame(
+                {"n_tok": nt, "stop_hits": sh, "text_len": tl,
+                 "plen": pl}
+            )
+
+    parts = (
+        _t(spark, sf_dir, "documents", spread=True)
+        .select("text")
+        .mapInPandas(
+            q_parts,
+            "n_tok bigint, stop_hits bigint, text_len bigint, plen bigint",
+        )
+    )
+    stop_ratio = F.round(
+        F.col("stop_hits") / F.greatest(F.col("n_tok"), F.lit(1)), 4
+    )
+    punct_ratio = F.round(
+        (F.col("text_len") - F.col("plen"))
+        / F.greatest(F.col("text_len"), F.lit(1)),
+        4,
+    )
+    quality = F.round(
+        F.least(F.col("n_tok") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + (1 - punct_ratio) * 0.3,
+        4,
+    )
+    q = parts.select(quality.alias("quality"))
     bins = q.select(
         F.expr("CAST(round(quality * 10000) AS BIGINT) DIV 10").alias("bin")
     )
@@ -1577,7 +1671,7 @@ def pack_concat_split(spark, sf_dir, window: int = None):
 
     The DuckDB oracle is the direct single-node form (one global
     window cumsum + range join), value-identical by construction."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", spread=True).select(
         "doc_id", F.expr(_TOKENS).alias("toks")
     )
     return pack_slices_df(docs, window, key_col="doc_id").select(
@@ -1602,11 +1696,18 @@ def pack_slices_df(
     sized = docs.withColumn("n_toks", F.size("toks")).filter(
         F.col("n_toks") > 0
     )
+    # ints-only proxy (key, doc_id, n_toks), materialized once per
+    # invocation (eager localCheckpoint): the min/max probe and the
+    # phase-1 totals both read it, where they previously each re-ran
+    # the full corpus scan + tokenize (r9: 3 token passes -> 2 — only
+    # the phase-2 slice emission still touches ``toks``, guide §8:
+    # decide with small rows)
+    slim = sized.select(key_col, "doc_id", "n_toks").localCheckpoint()
     # deterministic integer range partitioning: key // span.  (NOT
     # repartitionByRange: its sampled boundaries are not stable across
     # the two passes this computation makes.)
     n_parts = spark.sparkContext.defaultParallelism
-    lo, hi = sized.agg(F.min(key_col), F.max(key_col)).collect()[0]
+    lo, hi = slim.agg(F.min(key_col), F.max(key_col)).collect()[0]
     if lo is None:  # empty input: keep the schema, skip the machinery
         lo, hi = 0, 0
     # span in PYTHON ints (hi-lo can exceed int64 when the key is a
@@ -1622,9 +1723,15 @@ def pack_slices_df(
         "pid", F.expr(f"CAST(({key_col} div {span}) AS BIGINT)")
     )
     # phase 1: O(partitions) totals -> prefix offsets, broadcast back
+    # (computed from the materialized slim proxy, not the corpus)
     totals = sorted(
         (r.pid, r.t)
-        for r in parted.groupBy("pid").agg(F.sum("n_toks").alias("t")).collect()
+        for r in slim.withColumn(
+            "pid", F.expr(f"CAST(({key_col} div {span}) AS BIGINT)")
+        )
+        .groupBy("pid")
+        .agg(F.sum("n_toks").alias("t"))
+        .collect()
     )
     prefix, acc = [], 0
     for pid, t in totals:
