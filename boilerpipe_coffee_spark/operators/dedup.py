@@ -368,6 +368,23 @@ def minhash_sigs_df(docs_in: DataFrame, n_sig: int = 8) -> DataFrame:
     tok_re = re.compile(r"[^a-z0-9]+")
 
     def sig_fn(batches):
+        # r9: per-task shingle-hash memo (the _gram_rows_df rationale:
+        # cross-doc shingle repetition measured 38x at sf1.0; bounded
+        # clear-on-overflow) + digest-slice md5 (first 15 hex chars ==
+        # first-8-bytes int >> 4, no hex round trip)
+        md5 = hashlib.md5
+        ifb = int.from_bytes
+        memo: dict = {}
+
+        def h60p(s):
+            h = memo.get(s)
+            if h is None:
+                h = (ifb(md5(s.encode()).digest()[:8], "big") >> 4) % _P
+                if len(memo) >= 1 << 20:
+                    memo.clear()
+                memo[s] = h
+            return h
+
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -378,10 +395,7 @@ def minhash_sigs_df(docs_in: DataFrame, n_sig: int = 8) -> DataFrame:
                     " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                 }
                 hs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % _P
-                        for s in shingles
-                    ),
+                    (h60p(s) for s in shingles),
                     dtype=np.int64,
                     count=len(shingles),
                 )
@@ -560,20 +574,39 @@ def simhash_sigs_df(docs_in: DataFrame) -> DataFrame:
     powers = [1 << b for b in range(63)]
 
     def sig_fn(batches):
+        # r9: per-task token-hash memo — the distinct-token vocabulary
+        # repeats across every document, so nearly all lookups hit
+        # (same bounded-memo pattern as minhash_sigs_df); hex windows
+        # come from the byte digest (chars 1-8 == bytes 0-4, chars
+        # 9-16 == bytes 4-8)
+        md5 = hashlib.md5
+        ifb = int.from_bytes
+        memo: dict = {}
+
+        def h_lo_hi(t):
+            v = memo.get(t)
+            if v is None:
+                d = md5(t.encode()).digest()
+                v = (ifb(d[:4], "big"), ifb(d[4:8], "big"))
+                if len(memo) >= 1 << 20:
+                    memo.clear()
+                memo[t] = v
+            return v
+
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = {t for t in tok_re.split((text or "").lower()) if t}
                 if not toks:
                     continue
-                hexes = [hashlib.md5(t.encode()).hexdigest() for t in toks]
+                pairs = [h_lo_hi(t) for t in toks]
                 hs_lo = np.fromiter(
-                    (int(h[:8], 16) for h in hexes),
-                    dtype=np.int64, count=len(hexes),
+                    (p[0] for p in pairs),
+                    dtype=np.int64, count=len(pairs),
                 )
                 hs_hi = np.fromiter(
-                    (int(h[8:16], 16) for h in hexes),
-                    dtype=np.int64, count=len(hexes),
+                    (p[1] for p in pairs),
+                    dtype=np.int64, count=len(pairs),
                 )
                 bits = np.concatenate(
                     [

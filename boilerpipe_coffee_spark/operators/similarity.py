@@ -77,9 +77,8 @@ def cosine_topk(spark, sf_dir):
     joined = emb.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = F.round(
-        _dot(F.col("v"), F.col("q")) / (_norm(F.col("v")) * _norm(F.col("q"))), 4
-    )
+    # r9: fold-exact Arrow cosine (see _cos_fold_udf)
+    cos = F.round(_cos_fold_udf()(F.col("v"), F.col("q")), 4)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -117,16 +116,36 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY query_id, rank
 
 
 def ann_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH: 8-bit bucket per vector + bucket sizes."""
+    """Random-hyperplane LSH: 8-bit bucket per vector + bucket sizes.
+
+    r9: the 8 per-plane dot products run in one fold-exact Arrow pass
+    (the declarative form evaluated 8 interpreted ``F.aggregate``
+    folds per row; ``np.cumsum[..., -1]`` reproduces each fold
+    bit-for-bit and the plane literals are the same python floats
+    ``plane_weight`` fed to ``F.lit``)."""
+    from pyspark.sql.functions import pandas_udf
+
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    bucket = None
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(plane_weight(p, d)) for d in range(1, DIM + 1)])
-        bit = F.when(_dot(F.col("v"), plane) >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    out = emb.select("vec_id", bucket.cast("int").alias("bucket"))
+    planes = np.array(
+        [
+            [plane_weight(p, d) for d in range(1, DIM + 1)]
+            for p in range(N_PLANES)
+        ],
+        dtype=np.float64,
+    )
+
+    @pandas_udf("int")
+    def bucket_udf(va: pd.Series) -> pd.Series:
+        a = _stack_vectors(va)
+        out = np.zeros(len(a), dtype=np.int64)
+        for p in range(N_PLANES):
+            d = np.cumsum(a * planes[p], axis=1)[:, -1]
+            out += np.where(d >= 0, 1 << p, 0)
+        return pd.Series(out.astype(np.int32))
+
+    out = emb.select("vec_id", bucket_udf("v").alias("bucket"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("bucket")
@@ -338,6 +357,31 @@ def _cosine_udf():
         num = np.einsum("ij,ij->i", a, b)
         den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
         return pd.Series(num / den)
+
+    return cos
+
+
+def _cos_fold_udf():
+    """Arrow-vectorized RAW cosine with LEFT-FOLD summation order —
+    bit-identical to the interpreted ``F.aggregate`` fold that the
+    declarative ``_dot``/``_norm`` columns compute (and that the
+    DuckDB oracle's sequential ``list_dot_product`` matches):
+    ``np.cumsum`` is the sequential partial-sum by definition, so
+    ``cumsum[..., -1]`` equals the fold exactly, where einsum/``sum``
+    may sum pairwise and drift 1 ulp.  The interpreted fold is
+    evaluated per element per row by Catalyst (never codegen'd) and
+    dominated the IVF queries; rounding stays JVM-side (F.round is
+    half-away-from-zero; numpy round is half-even)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = _stack_vectors(va)
+        b = _stack_vectors(vb)
+        num = np.cumsum(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+        return pd.Series(num / (na * nb))
 
     return cos
 
@@ -676,9 +720,8 @@ def ann_ivf_topk(spark, sf_dir):
         F.broadcast(queries),
         (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = F.round(
-        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4
-    )
+    # r9: fold-exact Arrow cosine (see _cos_fold_udf)
+    cos = F.round(_cos_fold_udf()(F.col("v"), F.col("qv")), 4)
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
         cand.select("query_id", "vec_id", cos.alias("cosine"))
@@ -751,11 +794,11 @@ def _assign(emb, cents):
         "vec_id",
         "v",
         "cell_id",
-        F.round(
-            _dot(F.col("v"), F.col("cv"))
-            / (_norm(F.col("v")) * _norm(F.col("cv"))),
-            6,
-        ).alias("sim"),
+        # r9: fold-exact Arrow cosine (see _cos_fold_udf) — same
+        # values as the interpreted _dot/_norm fold, ~vectorized
+        F.round(_cos_fold_udf()(F.col("v"), F.col("cv")), 6).alias(
+            "sim"
+        ),
     )
     return scored.groupBy("vec_id").agg(
         F.any_value("v").alias("v"),
@@ -830,9 +873,8 @@ def ann_ivf_trained_topk(spark, sf_dir):
         (F.col("cell_id") == F.col("qcell"))
         & (F.col("vec_id") != F.col("query_id")),
     )
-    cos = F.round(
-        _dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * _norm(F.col("qv"))), 4
-    )
+    # r9: fold-exact Arrow cosine (see _cos_fold_udf)
+    cos = F.round(_cos_fold_udf()(F.col("v"), F.col("qv")), 4)
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
         cand.select("query_id", "vec_id", cos.alias("cosine"))

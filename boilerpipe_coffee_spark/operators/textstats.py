@@ -779,22 +779,33 @@ def _gram_rows_df(base: DataFrame, w: int) -> DataFrame:
     tok_re = re.compile(r"[^a-z0-9]+")
 
     def grams_fn(batches):
+        # r9: per-task gram-hash memo — cross-document repetition is
+        # exactly what this operator hunts (boilerplate), measured 38x
+        # at sf1.0, so most windows hit the dict instead of paying an
+        # md5 round-trip.  Bounded (clear at 2^20 entries ≈ tens of
+        # MB) so a pathological all-unique corpus cannot OOM a worker.
+        # digest-slice instead of hexdigest: the first 15 hex chars
+        # are the first 7.5 bytes, so int.from_bytes(digest[:8]) >> 4
+        # is the same 60-bit value without the hex-string round trip.
+        md5 = hashlib.md5
+        ifb = int.from_bytes
+        memo: dict = {}
         for pdf in batches:
             ids, poss, gs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = [t for t in tok_re.split((text or "").lower()) if t]
                 n = len(toks) - w + 1
                 for i in range(max(n, 0)):
+                    g = " ".join(toks[i : i + w])
+                    h = memo.get(g)
+                    if h is None:
+                        h = ifb(md5(g.encode()).digest()[:8], "big") >> 4
+                        if len(memo) >= 1 << 20:
+                            memo.clear()
+                        memo[g] = h
                     ids.append(doc_id)
                     poss.append(i)
-                    gs.append(
-                        int(
-                            hashlib.md5(
-                                " ".join(toks[i : i + w]).encode()
-                            ).hexdigest()[:15],
-                            16,
-                        )
-                    )
+                    gs.append(h)
             yield pd.DataFrame({"doc_id": ids, "pos": poss, "g": gs})
 
     schema = "doc_id " + _doc_id_sql_type(base) + ", pos int, g bigint"
