@@ -398,19 +398,29 @@ def _gather_verify_df(emb, cand):
 
     rows = emb.collect()
     mat = np.array([r.v for r in rows], dtype=np.float64)
-    idx = {r.vec_id: i for i, r in enumerate(rows)}
-    bc = emb.sparkSession.sparkContext.broadcast((idx, mat))
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable").astype(np.int64)
+    ids_sorted = ids[order]
+    # row norms computed ONCE over the matrix (r9): identical values
+    # to the old per-pair np.linalg.norm over gathered rows — same
+    # rows, same reduction — but O(N) instead of O(pairs); likewise
+    # the id lookup is a vectorized searchsorted instead of a 6M-row
+    # Python-level pandas .map (the two together were ~80% of the
+    # verify stage at the sf1 rehearsal)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (ids_sorted, order, mat, norms)
+    )
 
     def verify_fn(batches):
-        lookup, m = bc.value
+        ids_s, ord_, m, nrm = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            ia = pdf["vec_a"].map(lookup).to_numpy()
-            ib = pdf["vec_b"].map(lookup).to_numpy()
-            a, b = m[ia], m[ib]
-            num = np.einsum("ij,ij->i", a, b)
-            den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+            ia = ord_[np.searchsorted(ids_s, pdf["vec_a"].to_numpy())]
+            ib = ord_[np.searchsorted(ids_s, pdf["vec_b"].to_numpy())]
+            num = np.einsum("ij,ij->i", m[ia], m[ib])
+            den = nrm[ia] * nrm[ib]
             yield pd.DataFrame(
                 {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"],
                  "raw": num / den}
