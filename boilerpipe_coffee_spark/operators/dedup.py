@@ -247,35 +247,41 @@ def minhash_candidate_pairs(
     from pyspark.sql import Window
 
     if banding is None:
-        banding = minhash_banding(
-            n_docs if n_docs is not None else docs.count()
-        )
+        if n_docs is None:
+            n_docs = docs.count()
+        banding = minhash_banding(n_docs)
     stacked = minhash_bands_df(docs, banding)
     # bucket size via a window on band_key: ONE shuffle of the band
-    # rows.  The capped frame is then materialized once per invocation
-    # (eager localCheckpoint): both aliases of the self-join consume
-    # it, and without the barrier EACH side re-runs the Arrow
-    # signature pass over the whole corpus (2 corpus passes + 2 band
-    # shuffles -> 1, guide §8: the band table is the lightweight proxy
-    # — (doc_id, band_key) rows, b per doc — never the corpus text).
-    # localCheckpoint, not persist: the CacheManager matches persisted
-    # plans across invocations, which would turn a re-run into a
-    # silent cache read.
+    # rows.  Above the barrier_pays crossover the capped frame is
+    # materialized once per invocation (eager localCheckpoint): both
+    # aliases of the self-join consume it, and without the barrier
+    # EACH side re-runs the Arrow signature pass over the whole
+    # corpus (2 corpus passes + 2 band shuffles -> 1, guide §8: the
+    # band table is the lightweight proxy — (doc_id, band_key) rows,
+    # b per doc — never the corpus text).  localCheckpoint, not
+    # persist: the CacheManager matches persisted plans across
+    # invocations, which would turn a re-run into a silent cache
+    # read.
     bucket_n = F.count("*").over(Window.partitionBy("band_key"))
-    # the re-spread after the checkpoint restores full parallelism
-    # for the in-bucket pair join (the checkpointed frame keeps the
-    # window's AQE-coalesced ~1-partition layout; see the
-    # dedup_embedding_lsh_pairs note) at the cost of one tiny proxy
-    # shuffle, which the band-keyed join then reuses
     capped = (
         stacked.withColumn("bucket_n", bucket_n)
         .filter(F.col("bucket_n") <= bucket_cap)
         .select("doc_id", "band_key")
-        .localCheckpoint()
-        .repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "band_key"
-        )
     )
+    from .scanspread import barrier_pays
+
+    if barrier_pays(n_docs if n_docs is not None else 0):
+        # the re-spread after the checkpoint restores full
+        # parallelism for the in-bucket pair join (the checkpointed
+        # frame keeps the window's AQE-coalesced ~1-partition
+        # layout) at the cost of one tiny proxy shuffle, which the
+        # band-keyed join then reuses.  Below the barrier_pays
+        # crossover the un-materialized self-join (two cheap
+        # pipelined passes) is faster — measured both ways.
+        capped = capped.localCheckpoint().repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "band_key",
+        )
     a = capped.alias("a")
     b = capped.alias("b")
     return (
@@ -705,6 +711,9 @@ def dedup_simhash_pairs(
 
     # unsorted signatures: dedup_simhash's presentation orderBy would
     # inject a global range exchange per join side for nothing
+    from .scanspread import barrier_pays
+
+    n_docs = _t(spark, sf_dir, "documents").count()  # metadata count
     sig = simhash_sigs_df(_t(spark, sf_dir, "documents", spread=True))
     # single join key = chunk_idx * 2^16 + chunk_val: one column to
     # window over AND to join on (shuffle partitioning reused)
@@ -734,11 +743,13 @@ def dedup_simhash_pairs(
         chunks.withColumn("bucket_n", bucket_n)
         .filter(F.col("bucket_n") <= bucket_cap)
         .select("doc_id", "simhash", "chunk_key")
-        .localCheckpoint()
-        .repartition(
+    )
+    if barrier_pays(n_docs):
+        # materialize + re-spread (the minhash_candidate_pairs
+        # rationale and the same measured crossover)
+        capped = capped.localCheckpoint().repartition(
             spark.sparkContext.defaultParallelism, "chunk_key"
         )
-    )
     a = capped.alias("a")
     b = capped.alias("b")
     hamming = F.bit_count(
@@ -922,16 +933,26 @@ def dedup_minhash_verified(
     aliases (the minhash_candidate_pairs rationale).  Previously this
     operator ran the corpus through Python FOUR times (2 sig + 2
     set-build passes); now twice (1 sig + 1 pruned set-build)."""
-    pairs = _minhash_pairs(spark, sf_dir, bucket_cap).localCheckpoint()
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    cand_docs = _t(spark, sf_dir, "documents", spread=True).join(
-        cand_ids, "doc_id", "left_semi"
-    )
-    sets = shingle_sets_df(cand_docs).localCheckpoint()
+    from .scanspread import barrier_pays
+
+    n_docs = _t(spark, sf_dir, "documents").count()  # metadata count
+    if barrier_pays(n_docs):
+        pairs = _minhash_pairs(spark, sf_dir, bucket_cap).localCheckpoint()
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        cand_docs = _t(spark, sf_dir, "documents", spread=True).join(
+            cand_ids, "doc_id", "left_semi"
+        )
+        sets = shingle_sets_df(cand_docs).localCheckpoint()
+    else:
+        # below the crossover the three barrier jobs cost more than
+        # the corpus passes they save (measured): keep the direct
+        # lazy shape
+        pairs = _minhash_pairs(spark, sf_dir, bucket_cap)
+        sets = shingle_sets_df(_t(spark, sf_dir, "documents"))
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

@@ -597,18 +597,46 @@ def tfidf_top_terms(spark, sf_dir, k: int = 3):
     NO broadcast hint: the distinct-term table is corpus-cardinality
     (10^8+ terms on web scale) and a forced broadcast OOMs executors;
     AQE broadcasts it at small SF and shuffle-joins at scale."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from .dedup import _doc_id_sql_type
+
     docs = _t(spark, sf_dir, "documents", spread=True)
-    toks = _tok_explode(docs, "doc_id")
-    # the per-doc term-frequency table is materialized once per
-    # invocation (eager localCheckpoint): both the document-frequency
-    # aggregate and the score join consume it, and each would
-    # otherwise re-run the corpus explode + (doc_id, term) aggregate
-    # (measured 2.7 s/pass at sf1.0 — half the query).  tf is the
-    # compressed proxy (distinct terms per doc), well under the raw
-    # token stream it replaces.
+    # per-doc term frequencies from ONE Arrow pass (r9): a document
+    # lives wholly in one row, so a per-doc Counter gives the COMPLETE
+    # (doc_id, term, tf) rows with no aggregation shuffle at all — the
+    # explode + groupBy(doc_id, term) form cost 2.7 s/pass at sf1.0
+    # (and ran TWICE: df aggregate + score join).  Exact integer
+    # counts, same tokenizer twin as every proven hash-exact Arrow
+    # stage.  Materialized once per invocation (eager localCheckpoint)
+    # for its two consumers; tf is the compressed proxy (distinct
+    # terms per doc), well under the raw token stream it replaces.
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    def tf_fn(batches):
+        for pdf in batches:
+            ids, terms, tfs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                c = Counter(
+                    t for t in tok_re.split((text or "").lower()) if t
+                )
+                ids.extend([doc_id] * len(c))
+                terms.extend(c.keys())
+                tfs.extend(c.values())
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "term": terms, "tf": tfs}
+                )
+
     tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            tf_fn,
+            "doc_id " + _doc_id_sql_type(docs) + ", term string, tf long",
+        )
         .localCheckpoint()
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
